@@ -186,4 +186,5 @@ class TestImmersed:
         assert J.shape == (32, 3, 2, 1)
         # points lie near the unit circle
         np.testing.assert_allclose(np.linalg.norm(X, axis=-1), 1.0, atol=5e-3)
-        assert jxw.sum() == pytest.approx(2 * np.pi, rel=1e-3)
+        # 32-gon perimeter: 64*sin(pi/32) -> 0.16% below 2*pi
+        assert jxw.sum() == pytest.approx(2 * np.pi, rel=2e-3)
