@@ -1,0 +1,146 @@
+"""The non-matching coupling operator C  (the heart of the fictitious-domain
+method).
+
+TPU-native replacement for ``NonMatching::create_coupling_sparsity_pattern /
+create_coupling_mass_matrix`` + ``Particles::ParticleHandler`` (reference:
+immersed_laplace.cc:443,488; elliptic_interface.cc:577,583;
+stokes_immersed_boundary.cc:660,782; utilities.h:755-837).
+
+    C[j, i] = ∫_Γ  φ_i^bg  ψ_j^imm  dΓ
+
+Setup builds a *quad-point table*: every immersed quadrature point is located
+in its background cell by O(1) index arithmetic (uniform grid — no rtree), and
+both bases are tabulated there.  The runtime actions ``C u`` and ``Cᵀ λ`` are
+pure gather → einsum → scatter-add, so the augmented-Lagrangian term
+``γ CᵀW⁻¹C`` applies matrix-free inside jit (the reference's "operator
+version", immersed_laplace.cc:653-705) — this is the default path; explicit
+materialization (COO) exists for diagnostics and coarse-level operators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid import GridSpace
+from ..core.immersed import ImmersedSpace
+from ..core.quadrature import gauss
+from .linop import LinOp
+
+__all__ = ["Coupling", "build_coupling"]
+
+
+@dataclass
+class Coupling:
+    """Quad-point form of C : V_bg -> V_imm  (shape (n_imm, n_bg))."""
+
+    bg_dofs: jnp.ndarray   # (nq, nloc_bg) int32
+    bg_phi: jnp.ndarray    # (nq, nloc_bg)
+    imm_dofs: jnp.ndarray  # (nq, nloc_imm) int32
+    imm_psi: jnp.ndarray   # (nq, nloc_imm)
+    jxw: jnp.ndarray       # (nq,)
+    shape: tuple           # (n_imm, n_bg)
+    points: np.ndarray = None  # (nq, spacedim) physical quad points (setup data)
+
+    def __post_init__(self):
+        self.bg_dofs = jnp.asarray(self.bg_dofs)
+        self.bg_phi = jnp.asarray(self.bg_phi)
+        self.imm_dofs = jnp.asarray(self.imm_dofs)
+        self.imm_psi = jnp.asarray(self.imm_psi)
+        self.jxw = jnp.asarray(self.jxw)
+
+    @property
+    def n_quad(self) -> int:
+        return self.bg_phi.shape[0]
+
+    def interp_bg(self, u):
+        """u_h^bg evaluated at the quad points: (nq,) or (nq, k)."""
+        ue = u[self.bg_dofs]
+        if ue.ndim == 3:
+            return jnp.einsum("qak,qa->qk", ue, self.bg_phi)
+        return jnp.einsum("qa,qa->q", ue, self.bg_phi)
+
+    def interp_imm(self, lam):
+        le = lam[self.imm_dofs]
+        if le.ndim == 3:
+            return jnp.einsum("qak,qa->qk", le, self.imm_psi)
+        return jnp.einsum("qa,qa->q", le, self.imm_psi)
+
+    def mv(self, u):
+        """C @ u : background -> immersed."""
+        vals = self.interp_bg(u) * (self.jxw if u.ndim == 1 else self.jxw[:, None])
+        out = jnp.zeros((self.shape[0],) + u.shape[1:], dtype=u.dtype)
+        if u.ndim == 2:
+            return out.at[self.imm_dofs].add(self.imm_psi[:, :, None] * vals[:, None, :])
+        return out.at[self.imm_dofs].add(self.imm_psi * vals[:, None])
+
+    def rmv(self, lam):
+        """Cᵀ @ λ : immersed -> background."""
+        vals = self.interp_imm(lam) * (self.jxw if lam.ndim == 1 else self.jxw[:, None])
+        out = jnp.zeros((self.shape[1],) + lam.shape[1:], dtype=lam.dtype)
+        if lam.ndim == 2:
+            return out.at[self.bg_dofs].add(self.bg_phi[:, :, None] * vals[:, None, :])
+        return out.at[self.bg_dofs].add(self.bg_phi * vals[:, None])
+
+    def as_linop(self) -> LinOp:
+        return LinOp(self.mv, self.shape, self.rmv, name="C")
+
+    def al_term(self, inv_w, gamma: float) -> LinOp:
+        """γ CᵀW⁻¹C as a matrix-free LinOp (the AL augmentation, reference
+        'Use operator version': immersed_laplace.cc:653-705)."""
+        n = self.shape[1]
+
+        def mv(u):
+            return gamma * self.rmv(inv_w(self.mv(u)))
+
+        return LinOp(mv, (n, n), mv, name="AL")
+
+    def sum(self) -> float:
+        """sum of all entries of C == |Γ| when both spaces contain constants
+        (DEBUG check, nitsche_bcs.cc:467-490)."""
+        phi_sum = self.bg_phi.sum(axis=1)
+        psi_sum = self.imm_psi.sum(axis=1)
+        return float(jnp.sum(phi_sum * psi_sum * self.jxw))
+
+    def to_coo(self):
+        """Explicit COO of C (duplicates not summed): rows (imm), cols (bg), vals."""
+        nq, nb = self.bg_phi.shape
+        ni = self.imm_psi.shape[1]
+        rows = np.repeat(np.asarray(self.imm_dofs), nb, axis=1).reshape(-1)
+        cols = np.tile(np.asarray(self.bg_dofs), (1, ni)).reshape(-1)
+        vals = (np.asarray(self.imm_psi)[:, :, None] *
+                np.asarray(self.bg_phi)[:, None, :] *
+                np.asarray(self.jxw)[:, None, None]).reshape(-1)
+        return rows, cols, vals
+
+    def to_dense(self) -> np.ndarray:
+        rows, cols, vals = self.to_coo()
+        out = np.zeros(self.shape)
+        np.add.at(out, (rows, cols), vals)
+        return out
+
+
+def build_coupling(bg_space: GridSpace, imm_space: ImmersedSpace,
+                   order: int = 3) -> Coupling:
+    """Assemble the quad-point coupling table ('Coupling quadrature order'
+    in every reference prm)."""
+    mesh = imm_space.mesh
+    rule = gauss(mesh.dim, order)
+    X, _, jxw = mesh.quad_geometry(rule)  # (nc, nq_pc, sd), (nc, nq_pc)
+    nc, nq_pc, sd = X.shape
+    flat_pts = X.reshape(-1, sd)
+
+    cells, refs = bg_space.grid.locate(flat_pts)
+    bg_phi = bg_space.fe.tabulate(refs)               # (nq, nloc_bg)
+    bg_dofs = bg_space.cell_dofs[cells]               # (nq, nloc_bg)
+
+    psi = imm_space.fe.tabulate(rule.points)          # (nq_pc, nloc_imm)
+    imm_psi = np.broadcast_to(psi[None], (nc, nq_pc, psi.shape[1])).reshape(
+        -1, psi.shape[1])
+    imm_dofs = np.repeat(imm_space.cell_dofs[:, None, :], nq_pc, axis=1).reshape(
+        -1, imm_space.cell_dofs.shape[1])
+
+    return Coupling(bg_dofs, bg_phi, imm_dofs, imm_psi, jxw.reshape(-1),
+                    (imm_space.n_dofs, bg_space.n_dofs), points=flat_pts)
