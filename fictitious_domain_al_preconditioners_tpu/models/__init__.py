@@ -1,0 +1,3 @@
+from .immersed_laplace import ImmersedLaplaceConfig, ImmersedLaplaceProblem
+
+__all__ = ["ImmersedLaplaceConfig", "ImmersedLaplaceProblem"]

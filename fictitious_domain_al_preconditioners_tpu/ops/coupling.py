@@ -97,6 +97,43 @@ class Coupling:
 
         return LinOp(mv, (n, n), mv, name="AL")
 
+    def particle_mass_term(self, gamma: float) -> LinOp:
+        """γ·∫_Γ φ_i φ_j — the background mass matrix on Γ assembled from the
+        quad-point table, i.e. the reference's particle AL loop
+        (immersed_laplace.cc:653-705, nitsche_bcs.cc:515-572) as a matrix-free
+        operator."""
+        n = self.shape[1]
+
+        def mv(u):
+            vals = self.interp_bg(u) * self.jxw
+            out = jnp.zeros_like(u)
+            return gamma * out.at[self.bg_dofs].add(self.bg_phi * vals[:, None])
+
+        return LinOp(mv, (n, n), mv, name="particleAL")
+
+    def particle_mass_diag(self, gamma: float):
+        """Diagonal of :meth:`particle_mass_term` (for smoothers)."""
+        out = jnp.zeros(self.shape[1], dtype=self.jxw.dtype)
+        return gamma * out.at[self.bg_dofs].add(self.bg_phi ** 2 *
+                                                self.jxw[:, None])
+
+    def al_term_diag(self, w_diag, gamma: float):
+        """Diagonal of γ·Cᵀdiag(w)C via deduplicated COO (host-side setup,
+        feeds the GMG/Chebyshev smoother of the augmented block)."""
+        rows, cols, vals = self.to_coo()
+        ncols = self.shape[1]
+        key = rows.astype(np.int64) * ncols + cols.astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        key_s, vals_s = key[order], vals[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(key_s)) + 1])
+        v = np.add.reduceat(vals_s, starts)
+        r = (key_s[starts] // ncols).astype(np.int64)
+        c = (key_s[starts] % ncols).astype(np.int64)
+        w = np.asarray(w_diag)
+        d = np.zeros(ncols)
+        np.add.at(d, c, w[r] * v ** 2)
+        return jnp.asarray(gamma * d)
+
     def sum(self) -> float:
         """sum of all entries of C == |Γ| when both spaces contain constants
         (DEBUG check, nitsche_bcs.cc:467-490)."""

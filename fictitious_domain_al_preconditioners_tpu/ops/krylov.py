@@ -102,6 +102,53 @@ def cg(A: Callable, b, M: Optional[Callable] = None, x0=None, *,
     return x, info
 
 
+def batched_cg(A: Callable, B, M: Optional[Callable] = None, *,
+               tol: float = 1e-12, reduction: float | None = None,
+               max_steps: int = 1000):
+    """CG on k independent systems sharing one batched operator.
+
+    ``B`` is (n, k); ``A``/``M`` map (n, k) -> (n, k) column-wise.  All inner
+    products are per-column; converged columns freeze while the rest iterate.
+    This turns e.g. the rational preconditioner's 20 shifted solves
+    (rational_preconditioner.h:41-52, sequential CG + fresh AMG each) into one
+    batched Krylov loop whose iterations are single fused batched SpMVs — the
+    TPU-native formulation."""
+    M = M or (lambda x: x)
+    X = jnp.zeros_like(B)
+    R = B - A(X)
+    res0 = jnp.sqrt(jnp.sum(R * R, axis=0))
+    if reduction is not None:
+        thr = jnp.maximum(tol, reduction * res0)
+    else:
+        thr = jnp.full_like(res0, tol)
+    Z = M(R)
+    P = Z
+    rz = jnp.sum(R * Z, axis=0)
+
+    def cond(state):
+        _, _, _, _, res, it = state
+        return jnp.any(res > thr) & (it < max_steps)
+
+    def body(state):
+        X, R, P, rz, res, it = state
+        active = res > thr
+        AP = A(P)
+        pAp = jnp.sum(P * AP, axis=0)
+        alpha = jnp.where(active, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        res = jnp.sqrt(jnp.sum(R * R, axis=0))
+        Z = M(R)
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = jnp.where(active, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        P = jnp.where(active[None, :], Z + beta[None, :] * P, P)
+        return X, R, P, rz_new, res, it + 1
+
+    X, R, P, rz, res, it = lax.while_loop(
+        cond, body, (X, R, P, rz, res0, jnp.int32(0)))
+    return X, SolveInfo(it, jnp.max(res), jnp.max(res0), jnp.all(res <= thr))
+
+
 def cg_condition_number(alphas, betas, k) -> float:
     """Spectral condition estimate from CG's Lanczos tridiagonal (the
     'condition number slot', immersed_laplace.cc:993-1010).  Host-side."""

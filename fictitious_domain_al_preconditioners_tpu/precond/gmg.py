@@ -1,0 +1,162 @@
+"""Geometric multigrid on the structured background grid.
+
+TPU-native replacement for Trilinos ML-AMG (reference N9, utilities.h:304-317,
+568-576, 726-733): the background is always a uniform tensor-product grid, so
+coarsening is exact 2:1 grid coarsening, prolongation is FE embedding evaluated
+by O(1) point location, and every level's operator is *re-discretized* —
+including the AL term γ·CᵀW⁻¹C, whose per-level coupling table is rebuilt by
+relocating the (fixed) immersed quadrature points in the coarser grid.  Keeping
+the AL term on all levels is what preserves AMG-like iteration counts on the
+augmented operator (SURVEY §7 hard part #1).
+
+Smoother: Chebyshev with Lanczos-estimated eigenvalue bounds.  Coarse solve:
+dense LU (factorized at setup).  The V-cycle is symmetric, so it is a valid CG
+preconditioner.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid import GridSpace
+from ..ops.krylov import lanczos_max_eig
+from ..ops.linop import LinOp
+from .chebyshev import chebyshev
+
+__all__ = ["Prolongation", "build_gmg", "GMG"]
+
+
+@dataclass
+class Prolongation:
+    """FE embedding coarse -> fine: pure gather-einsum (no scatter on the
+    forward path; restriction is the scatter-add transpose)."""
+
+    cell_dofs: jnp.ndarray  # (n_fine, nloc) coarse dofs under each fine dof
+    phi: jnp.ndarray        # (n_fine, nloc) coarse basis values
+    shape: tuple            # (n_fine, n_coarse)
+
+    def mv(self, xc):
+        return jnp.einsum("fa,fa->f", xc[self.cell_dofs], self.phi)
+
+    def rmv(self, xf):
+        out = jnp.zeros(self.shape[1], dtype=xf.dtype)
+        return out.at[self.cell_dofs].add(self.phi * xf[:, None])
+
+
+def make_prolongation(fine: GridSpace, coarse: GridSpace) -> Prolongation:
+    pts = fine.dof_points
+    cells, refs = coarse.grid.locate(pts)
+    phi = coarse.fe.tabulate(refs)
+    return Prolongation(jnp.asarray(coarse.cell_dofs[cells]),
+                        jnp.asarray(phi), (fine.n_dofs, coarse.n_dofs))
+
+
+@dataclass
+class _Level:
+    space: GridSpace
+    op: object            # traceable mv
+    diag_inv: jnp.ndarray
+    mask: jnp.ndarray     # free-dof mask (float 0/1)
+    smoother: object      # chebyshev apply
+    prolong: Prolongation | None  # from next-coarser level
+
+
+class GMG:
+    """V-cycle preconditioner.  ``apply(b) -> x`` is traceable."""
+
+    def __init__(self, levels, coarse_lu, n_cycles: int = 1):
+        self.levels = levels
+        self.coarse_lu = coarse_lu
+        self.n_cycles = n_cycles
+
+    def _coarse_solve(self, b):
+        lu, piv = self.coarse_lu
+        return jax.scipy.linalg.lu_solve((lu, piv), b)
+
+    def _vcycle(self, li: int, b):
+        level = self.levels[li]
+        if li == len(self.levels) - 1:
+            return self._coarse_solve(b)
+        x = level.smoother(b)
+        r = b - level.op(x)
+        coarse = self.levels[li + 1]
+        # levels[li+1].prolong maps level li+1 -> level li
+        rc = coarse.mask * coarse.prolong.rmv(r)
+        xc = self._vcycle(li + 1, rc)
+        x = x + level.mask * coarse.prolong.mv(xc)
+        # post-smooth on the residual equation
+        x = x + level.smoother(b - level.op(x))
+        return x
+
+    def apply(self, b):
+        x = self._vcycle(0, b)
+        for _ in range(self.n_cycles - 1):
+            x = x + self._vcycle(0, b - self.levels[0].op(x))
+        return x
+
+    def as_linop(self) -> LinOp:
+        n = self.levels[0].space.n_dofs
+        return LinOp(self.apply, (n, n), self.apply, name="GMG")
+
+
+def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
+              n_levels: int | None = None, min_cells: int = 4,
+              smoother_degree: int = 4, eig_ratio: float = 30.0,
+              n_cycles: int = 1, lanczos_steps: int = 10,
+              dtype=None) -> GMG:
+    """Build a GMG hierarchy.
+
+    ``op_factory(space) -> (mv, diag)`` re-discretizes the (augmented)
+    operator on a level space: ``mv`` traceable, ``diag`` the assembled
+    diagonal *before* constraint masking.  ``free_mask`` is the fine-level
+    Dirichlet mask; coarse masks are derived geometrically (same faces).
+    """
+    spaces = [fine_space]
+    while (n_levels is None or len(spaces) < n_levels):
+        g = spaces[-1].grid
+        if any(n % 2 != 0 for n in g.ncells) or min(g.ncells) // 2 < min_cells:
+            break
+        spaces.append(spaces[-1].coarse_space())
+
+    # which boundary faces are constrained on the fine level?
+    fine_mask = np.asarray(free_mask)
+    constrained_ids = []
+    for bid in range(2 * fine_space.grid.dim):
+        bd = fine_space.boundary_dof_mask([bid])
+        if not fine_mask[bd].any():
+            constrained_ids.append(bid)
+
+    levels = []
+    for i, sp in enumerate(spaces):
+        if i == 0:
+            mask = jnp.asarray(fine_mask, dtype=bool)
+        else:
+            m = ~sp.boundary_dof_mask(constrained_ids) if constrained_ids \
+                else np.ones(sp.n_dofs, dtype=bool)
+            mask = jnp.asarray(m)
+        mv_raw, diag = op_factory(sp)
+        dt = dtype or diag.dtype
+        maskf = mask.astype(dt)
+
+        def mv(x, mv_raw=mv_raw, maskf=maskf):
+            return maskf * mv_raw(maskf * x) + (1.0 - maskf) * x
+
+        diag_inv = jnp.where(mask, 1.0 / diag, 1.0)
+        lam = lanczos_max_eig(lambda v, mv=mv, di=diag_inv: di * mv(v),
+                              sp.n_dofs, steps=lanczos_steps, dtype=dt)
+        smoother = chebyshev(mv, diag_inv, lam, degree=smoother_degree,
+                             eig_ratio=eig_ratio)
+        prolong = make_prolongation(spaces[i - 1], sp) if i > 0 else None
+        levels.append(_Level(sp, mv, diag_inv, maskf, smoother, prolong))
+
+    # coarse dense factorization
+    coarse = levels[-1]
+    nco = coarse.space.n_dofs
+    eye = jnp.eye(nco, dtype=levels[0].mask.dtype)
+    dense = jax.vmap(coarse.op, in_axes=1, out_axes=1)(eye)
+    lu, piv = jax.scipy.linalg.lu_factor(dense)
+    return GMG(levels, (lu, piv), n_cycles=n_cycles)

@@ -1,0 +1,137 @@
+"""Rational (fractional-Laplacian) preconditioner  P = diag(K⁻¹, (−Δ_Γ)^{-1/2}).
+
+TPU-native re-design of the reference's ``RationalPreconditioner``
+(rational_preconditioner.h:12-99): the multiplier block applies a rational
+approximation of λ^{-1/2} of the pencil (A_Γ, M_Γ),
+
+    v₁ = d₀·ρ^{-1/2}·M⁻¹u₁ + ρ^{1/2} Σᵢ dᵢ (A_Γ − ρ pᵢ M)⁻¹ u₁ ,
+
+with ρ an upper spectral bound of M⁻¹A_Γ (immersed_laplace.cc:609-614).
+
+Two TPU-first changes versus the reference:
+  1. The pole/residue table is *computed at setup* by the AAA algorithm
+     (Nakatsukasa-Sète-Trefethen 2018) applied to x^{-1/2} on (0, 1] — the
+     reference hardcodes 21 residues / 20 poles of a fixed BURA table
+     (rational_preconditioner.h:70-93); AAA reproduces the same negative-pole
+     structure adaptively.
+  2. All shifted SPD systems are solved by ONE batched CG (ops.krylov.
+     batched_cg) whose iterations are fused batched SpMVs, instead of 20
+     sequential CG+fresh-AMG solves.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.blocks import BlockLayout
+from ..ops.krylov import batched_cg, cg
+from ..ops.operators import CellMatrix
+
+__all__ = ["aaa", "rational_x_inv_sqrt", "rational_preconditioner"]
+
+
+def aaa(F, Z, tol: float = 1e-11, mmax: int = 40):
+    """Minimal AAA rational approximation: returns (poles, residues, d0) of
+
+        r(z) = d0 + Σ_i residues_i / (z - poles_i)  ≈  F on the sample set Z.
+
+    Classic barycentric AAA with greedy support-point selection.
+    """
+    Z = np.asarray(Z, dtype=float)
+    F = np.asarray(F, dtype=float)
+    M = len(Z)
+    mask = np.ones(M, dtype=bool)  # remaining sample points
+    zj, fj, wj = [], [], []
+    R = np.full(M, F.mean())
+    for m in range(mmax):
+        # greedy: largest residual
+        j = int(np.argmax(np.abs(F - R) * mask))
+        zj.append(Z[j])
+        fj.append(F[j])
+        mask[j] = False
+        zs = np.array(zj)
+        fs = np.array(fj)
+        C = 1.0 / (Z[mask, None] - zs[None, :])        # Cauchy matrix
+        A = (F[mask, None] - fs[None, :]) * C          # Loewner matrix
+        _, _, Vh = np.linalg.svd(A, full_matrices=False)
+        w = Vh[-1]
+        wj = w
+        num = C @ (w * fs)
+        den = C @ w
+        R = F.copy()
+        R[mask] = num / den
+        if np.max(np.abs(F - R)) <= tol * np.max(np.abs(F)):
+            break
+    zs = np.array(zj)
+    fs = np.array(fj)
+    w = np.array(wj)
+    m = len(w)
+    # poles: generalized eigenvalues of the arrowhead pencil
+    E = np.zeros((m + 1, m + 1))
+    E[0, 1:] = w
+    E[1:, 0] = 1.0
+    E[1:, 1:] = np.diag(zs)
+    B = np.eye(m + 1)
+    B[0, 0] = 0.0
+    from scipy.linalg import eig as _eig
+
+    ev = _eig(E, B, right=False)
+    ev = ev[np.isfinite(ev)]
+    poles = np.real(ev[np.abs(np.imag(ev)) <= 1e-8 * np.maximum(1.0, np.abs(ev))])
+    # residues via perturbation: res = num(p)/den'(p)
+    def num(z):
+        return np.sum(w * fs / (z - zs))
+
+    def dden(z):
+        return -np.sum(w / (z - zs) ** 2)
+
+    residues = np.array([num(p) / dden(p) for p in poles])
+    d0 = float(np.sum(w * fs) / np.sum(w))  # r(inf)
+    return poles, residues, d0
+
+
+def rational_x_inv_sqrt(lower: float = 1e-7, n_samples: int = 600,
+                        tol: float = 1e-10, mmax: int = 30):
+    """Poles/residues/constant of r(x) ≈ x^{-1/2} on [lower, 1] (log-spaced
+    samples).  Poles come out on the negative real axis (Stieltjes function),
+    matching the structure of the reference's hardcoded table."""
+    Z = np.geomspace(lower, 1.0, n_samples)
+    F = 1.0 / np.sqrt(Z)
+    poles, residues, d0 = aaa(F, Z, tol=tol, mmax=mmax)
+    keep = poles < 0
+    return poles[keep], residues[keep], d0
+
+
+def rational_preconditioner(layout: BlockLayout, K_inv, A_imm: CellMatrix,
+                            M_imm: CellMatrix, rho_bound: float, *,
+                            lower: float = 1e-7, cg_tol: float = 1e-12,
+                            cg_max_steps: int = 2000):
+    """Assemble the block-diagonal rational preconditioner apply."""
+    poles, residues, d0 = rational_x_inv_sqrt(lower=lower)
+    k = len(poles)
+    shifts = jnp.asarray(-rho_bound * poles)     # positive shifts -> SPD
+    coeffs = jnp.asarray(residues * np.sqrt(rho_bound))
+    c0 = d0 / np.sqrt(rho_bound)
+    md_inv = 1.0 / M_imm.diag()
+    diag_batch = A_imm.diag()[:, None] + M_imm.diag()[:, None] * shifts[None, :]
+    dinv_batch = 1.0 / diag_batch
+
+    def batched_A(X):
+        return A_imm.mv(X) + M_imm.mv(X) * shifts[None, :]
+
+    def m_inv(v):
+        x, _ = cg(M_imm.mv, v, M=lambda r: md_inv * r, tol=0.0,
+                  reduction=1e-14, max_steps=cg_max_steps)
+        return x
+
+    def apply(u):
+        u0, u1 = layout.split(u)
+        v0 = K_inv(u0)
+        B = jnp.broadcast_to(u1[:, None], (u1.shape[0], k))
+        X, _ = batched_cg(batched_A, B, M=lambda R: dinv_batch * R,
+                          tol=cg_tol, reduction=1e-12, max_steps=cg_max_steps)
+        v1 = c0 * m_inv(u1) + X @ coeffs
+        return layout.concat((v0, v1))
+
+    return apply

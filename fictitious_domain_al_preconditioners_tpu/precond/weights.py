@@ -1,0 +1,72 @@
+"""Inverse-weight (W⁻¹) operators for the AL term γ·CᵀW⁻¹C.
+
+The reference offers several immersed mass-matrix surrogates W (SURVEY §0):
+M (exact UMFPACK inverse), M² (exact inverse applied twice), diag(M),
+diag(M)², diag(M²), and h-scaled M (W = M/h²).  Exact inverses are realized
+here by tightly-converged Jacobi-preconditioned CG (immersed mass matrices are
+well-conditioned; this is the UMFPACK stand-in, reference N10).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.krylov import cg
+from ..ops.linop import LinOp, diag_op
+from ..ops.operators import CellMatrix
+
+__all__ = [
+    "inv_diag", "inv_diag_squared", "inv_exact", "inv_squared_exact",
+    "inv_diag_of_m_squared",
+]
+
+
+def inv_diag(M: CellMatrix) -> LinOp:
+    """W = diag(M)  (operator-form immersed_laplace, lines 856-863)."""
+    return diag_op(1.0 / M.diag())
+
+
+def inv_diag_squared(M: CellMatrix) -> LinOp:
+    """W = diag(M)²  (explicit-form immersed_laplace lines 869-874; Stokes
+    'Diagonal mass immersed', stokes_immersed_boundary.cc:965-973)."""
+    return diag_op(1.0 / M.diag() ** 2)
+
+
+def inv_exact(M: CellMatrix, tol: float = 0.0, reduction: float = 1e-14,
+              max_steps: int = 1000, scale: float = 1.0) -> LinOp:
+    """W = M/scale solved exactly: Jacobi-CG to machine-level reduction
+    (UMFPACK M⁻¹ stand-in, immersed_laplace.cc:849-878).  ``scale`` supports
+    the h-scaled variant W = M/h² -> W⁻¹ = h²·M⁻¹."""
+    dinv = 1.0 / M.diag()
+
+    def mv(x):
+        y, _ = cg(M.mv, x, M=lambda r: dinv * r, tol=tol,
+                  reduction=reduction, max_steps=max_steps)
+        return scale * y
+
+    return LinOp(mv, M.shape, mv, name="M^-1")
+
+
+def inv_squared_exact(M: CellMatrix, **kw) -> LinOp:
+    """W = M²: exact inverse applied twice (immersed_laplace.cc:875-878)."""
+    inv = inv_exact(M, **kw)
+    return inv @ inv
+
+
+def inv_diag_of_m_squared(M: CellMatrix) -> LinOp:
+    """W = diag(M·M): row-wise Σ_j M_ij² of the *assembled* matrix — the
+    reference's ``compute_inverse_diagonal_mass_squared`` (utilities.h:348-374),
+    computed here from deduplicated COO instead of a sparse mat-mat."""
+    rows, cols, vals = M.to_coo()
+    # sum duplicate (row, col) entries, then accumulate squares per row
+    ncols = M.shape[1]
+    key = rows.astype(np.int64) * ncols + cols.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    key_s, vals_s = key[order], vals[order]
+    boundaries = np.flatnonzero(np.diff(key_s)) + 1
+    seg_vals = np.add.reduceat(vals_s, np.concatenate([[0], boundaries]))
+    seg_rows = (key_s[np.concatenate([[0], boundaries])] // ncols).astype(np.int64)
+    diag_m2 = np.zeros(M.shape[0])
+    np.add.at(diag_m2, seg_rows, seg_vals ** 2)
+    return diag_op(jnp.asarray(1.0 / diag_m2))

@@ -1,0 +1,176 @@
+"""End-to-end tests for the immersed_laplace problem (all solver modes).
+
+Manufactured case: the reference's Circle_parameters_smooth.prm —
+f = 8π² sin(2πx) sin(2πy), g = sin(2πx) sin(2πy) on a circle Γ.  Since g is
+the trace of the unconstrained solution, u = sin(2πx)sin(2πy) exactly and the
+multiplier vanishes; L2 errors must converge at the FE rate and (for the AL
+solver) outer FGMRES iteration counts must stay flat under refinement — the
+paper's headline property.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fictitious_domain_al_preconditioners_tpu.models import (
+    ImmersedLaplaceConfig, ImmersedLaplaceProblem,
+)
+from fictitious_domain_al_preconditioners_tpu.ops.assembly import l2_error
+
+
+def smooth_config(**kw) -> ImmersedLaplaceConfig:
+    base = dict(
+        initial_refinement=5,
+        initial_embedded_refinement=5,
+        embedded_configuration=("R*cos(2*pi*x)+Cx; R*sin(2*pi*x)+Cy",
+                                "R=.2, Cx=.4, Cy=.4"),
+        embedding_rhs=("8*pi^2*sin(2*pi*x)*sin(2*pi*y)", ""),
+        embedded_value=("sin(2*pi*x)*sin(2*pi*y)", ""),
+        dirichlet_boundary=("0", ""),
+        solver="augmented",
+    )
+    base.update(kw)
+    return ImmersedLaplaceConfig(**base)
+
+
+def exact(p):
+    return jnp.sin(2 * jnp.pi * p[:, 0]) * jnp.sin(2 * jnp.pi * p[:, 1])
+
+
+class TestAugmented:
+    def test_operator_form(self):
+        prob = ImmersedLaplaceProblem(smooth_config(
+            use_operator_form=True, use_diagonal_inverse=True))
+        prob.setup()
+        u, lam, info = prob.solve()
+        assert prob.results["converged"]
+        assert prob.results["outer_iterations"] < 60
+        err = l2_error(prob.space, u, exact)
+        assert err < 6e-3
+        assert prob.constraint_residual() < 1e-6
+
+    def test_explicit_form(self):
+        prob = ImmersedLaplaceProblem(smooth_config(
+            use_operator_form=False, use_diagonal_inverse=True))
+        prob.setup()
+        u, lam, info = prob.solve()
+        assert prob.results["converged"]
+        err = l2_error(prob.space, u, exact)
+        assert err < 6e-3
+
+    def test_exact_mass_inverse(self):
+        prob = ImmersedLaplaceProblem(smooth_config(
+            use_operator_form=False, use_diagonal_inverse=False))
+        prob.setup()
+        u, lam, info = prob.solve()
+        assert prob.results["converged"]
+        assert l2_error(prob.space, u, exact) < 6e-3
+
+    def test_iteration_count_h_independence(self):
+        """The headline property: outer FGMRES iterations flat in h."""
+        iters = []
+        for ref in (4, 5, 6):
+            prob = ImmersedLaplaceProblem(smooth_config(
+                initial_refinement=ref, initial_embedded_refinement=ref,
+                use_operator_form=True, use_diagonal_inverse=True))
+            prob.setup()
+            prob.solve()
+            assert prob.results["converged"]
+            iters.append(prob.results["outer_iterations"])
+        # flat: no growth beyond a small additive margin
+        assert iters[2] <= iters[0] + 10, iters
+        assert max(iters) < 60, iters
+
+    def test_error_convergence(self):
+        errs = []
+        for ref in (4, 5, 6):
+            prob = ImmersedLaplaceProblem(smooth_config(
+                initial_refinement=ref, initial_embedded_refinement=ref,
+                use_operator_form=True, use_diagonal_inverse=True))
+            prob.setup()
+            u, _, _ = prob.solve()
+            errs.append(l2_error(prob.space, u, exact))
+        rate = np.log2(errs[1] / errs[2])
+        assert rate > 1.5, (errs, rate)
+
+
+class TestOtherSolvers:
+    def test_schur_cg(self):
+        prob = ImmersedLaplaceProblem(smooth_config(solver="CG"))
+        prob.setup()
+        u, lam, info = prob.solve()
+        assert prob.results["converged"]
+        assert l2_error(prob.space, u, exact) < 6e-3
+
+    def test_elman(self):
+        prob = ImmersedLaplaceProblem(smooth_config(
+            solver="ELMAN_triang",
+            schur=__import__(
+                "fictitious_domain_al_preconditioners_tpu.models.immersed_laplace",
+                fromlist=["SolverControlConfig"]).SolverControlConfig(
+                    max_steps=300, tolerance=1e-9, reduction=1e-9)))
+        prob.setup()
+        u, lam, info = prob.solve()
+        assert prob.results["converged"]
+        assert l2_error(prob.space, u, exact) < 6e-3
+
+    def test_rational(self):
+        prob = ImmersedLaplaceProblem(smooth_config(solver="rational"))
+        prob.setup()
+        u, lam, info = prob.solve()
+        assert prob.results["converged"]
+        assert l2_error(prob.space, u, exact) < 6e-3
+
+
+class TestConfigFromPrm:
+    def test_reference_prm_roundtrip(self):
+        import os
+
+        path = "/root/reference/parameters/circle/Circle_parameters_smooth.prm"
+        if not os.path.exists(path):
+            pytest.skip("reference not mounted")
+        cfg = ImmersedLaplaceConfig.from_prm(path)
+        assert cfg.solver == "augmented"
+        assert cfg.initial_refinement == 9
+        assert cfg.initial_embedded_refinement == 9
+        assert cfg.coupling_quadrature_order == 3
+        assert cfg.schur.tolerance == 1e-10
+        assert "8*pi^2" in cfg.embedding_rhs[0]
+
+    def test_small_run_from_prm_text(self):
+        text = """
+subsection Distributed Lagrange<1,2>
+  set Coupling quadrature order                    = 3
+  set Initial embedded space refinement            = 5
+  set Initial embedding space refinement           = 5
+  set Solver                                       = augmented
+  subsection AL preconditioner
+    set Use operator version = true
+    set Use diagonal inverse = true
+  end
+  subsection Embedded configuration
+    set Function constants  = R=.2, Cx=.4, Cy=.4
+    set Function expression = R*cos(2*pi*x)+Cx; R*sin(2*pi*x)+Cy
+    set Variable names      = x,y,t
+  end
+  subsection Embedded value
+    set Function expression = 1
+  end
+  subsection Embedding rhs function
+    set Function expression = 0
+  end
+  subsection Embedding Dirichlet boundary conditions
+    set Function expression = 0
+  end
+  subsection Schur solver control
+    set Max steps     = 1000
+    set Tolerance     = 1.e-10
+  end
+end
+"""
+        cfg = ImmersedLaplaceConfig.from_prm(text)
+        prob = ImmersedLaplaceProblem(cfg)
+        res = prob.run()
+        assert res["converged"]
+        # u == 1 on Gamma; interior plateau near 1
+        assert prob.constraint_residual() < 1e-6
