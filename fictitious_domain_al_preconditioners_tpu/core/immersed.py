@@ -33,7 +33,7 @@ from .quadrature import GaussRule
 
 __all__ = [
     "ImmersedMesh", "ImmersedSpace", "parametrized_curve", "hyper_sphere",
-    "immersed_uniform_grid", "boundary_mesh",
+    "immersed_uniform_grid", "boundary_mesh", "hyper_ball",
 ]
 
 
@@ -270,6 +270,80 @@ def immersed_uniform_grid(grid: UniformGrid, geom_degree: int = 1) -> ImmersedMe
                         np.zeros((grid.n_cells, (geom_degree + 1) ** grid.dim,
                                   grid.dim)), chart)
     return replace(mesh, geom_nodes=mesh._make_geom_nodes())
+
+
+def _refine_explicit_quads(vertices: np.ndarray, cells: np.ndarray,
+                           snap_fn=None):
+    """One isotropic refinement of an explicit 2D quad mesh.
+
+    ``cells`` are vertex indices in tensor order (x fastest).  New vertices on
+    *boundary* edges (edges shared by exactly one cell) are passed through
+    ``snap_fn`` — the deal.II boundary-manifold behavior (SphericalManifold on
+    the hyper_ball boundary)."""
+    edges = {}
+    edge_list = [(0, 1), (2, 3), (0, 2), (1, 3)]
+    counts = {}
+    for cell in cells:
+        for a, b in edge_list:
+            key = tuple(sorted((cell[a], cell[b])))
+            counts[key] = counts.get(key, 0) + 1
+    new_vertices = list(vertices)
+
+    def edge_mid(i, j):
+        key = tuple(sorted((i, j)))
+        if key not in edges:
+            mid = 0.5 * (vertices[i] + vertices[j])
+            if snap_fn is not None and counts[key] == 1:
+                mid = snap_fn(mid)
+            edges[key] = len(new_vertices)
+            new_vertices.append(mid)
+        return edges[key]
+
+    new_cells = []
+    for cell in cells:
+        v00, v10, v01, v11 = cell
+        b = edge_mid(v00, v10)   # bottom mid
+        t = edge_mid(v01, v11)   # top mid
+        l = edge_mid(v00, v01)   # left mid
+        r = edge_mid(v10, v11)   # right mid
+        c = len(new_vertices)
+        new_vertices.append(0.25 * (vertices[v00] + vertices[v10] +
+                                    vertices[v01] + vertices[v11]))
+        new_cells += [[v00, b, l, c], [b, v10, c, r],
+                      [l, c, v01, t], [c, r, t, v11]]
+    return np.array(new_vertices), np.array(new_cells, dtype=np.int64)
+
+
+def hyper_ball(center, radius: float, refinement: int = 0) -> ImmersedMesh:
+    """2D disk mesh (deal.II ``GridGenerator::hyper_ball``, used by the
+    elliptic-interface convergence study, elliptic_interface.cc:460-461):
+    5-cell coarse layout (central square + 4 ring cells), refined with
+    boundary vertices projected to the circle."""
+    center = np.asarray(center, dtype=float)
+    d = radius / np.sqrt(2.0)
+    b = d * 0.5
+    verts = np.array([
+        [-d, -d], [d, -d], [-d, d], [d, d],      # outer corners (on circle)
+        [-b, -b], [b, -b], [-b, b], [b, b],      # inner square
+    ])
+    cells = np.array([
+        [4, 5, 6, 7],        # center
+        [0, 1, 4, 5],        # bottom
+        [6, 7, 2, 3],        # top
+        [0, 4, 2, 6],        # left
+        [5, 1, 7, 3],        # right
+    ], dtype=np.int64)
+
+    def snap(p):
+        return radius * p / np.linalg.norm(p)
+
+    for _ in range(refinement):
+        verts, cells = _refine_explicit_quads(verts, cells, snap_fn=snap)
+    verts = verts + center
+    corner_keys = verts[cells]  # (nc, 4, 2) — keys are physical coords
+    mesh = ImmersedMesh(2, 2, corner_keys, FE(2, 1),
+                        corner_keys.copy(), chart=None)
+    return mesh
 
 
 def boundary_mesh(grid: UniformGrid) -> ImmersedMesh:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -153,11 +154,10 @@ class ImmersedLaplaceProblem:
                 base = conf
 
                 def conf_fn(pts):
-                    d = np.asarray(base(jnp.asarray(pts)))
-                    return pts[:, :2] + d
+                    return pts[:, :2] + np.asarray(base(pts))
             else:
                 def conf_fn(pts):
-                    return np.asarray(conf(jnp.asarray(pts)))
+                    return np.asarray(conf(pts))
 
             self.curve = parametrized_curve(
                 conf_fn, cfg.initial_embedded_refinement,
@@ -226,46 +226,65 @@ class ImmersedLaplaceProblem:
     # -- solve branches -----------------------------------------------------
 
     def solve(self):
+        """Build (once) and execute the jitted end-to-end solver for the
+        configured mode.  The whole preconditioned Krylov solve — outer loop,
+        inner CG, GMG cycles — compiles to a single XLA computation; repeat
+        calls hit the jit cache."""
+        if not hasattr(self, "_solvers"):
+            self._solvers = {}
+        key = self.cfg.solver
+        if key not in self._solvers:
+            with self.timer.scope("Build solver"):
+                builder = {
+                    "CG": self._build_schur_cg,
+                    "ELMAN_triang": self._build_elman,
+                    "rational": self._build_rational,
+                    "augmented": self._build_augmented,
+                }[key]
+                self._solvers[key] = builder()
         with self.timer.scope("Solve system"):
-            branch = {
-                "CG": self._solve_schur_cg,
-                "ELMAN_triang": self._solve_elman,
-                "rational": self._solve_rational,
-                "augmented": self._solve_augmented,
-            }[self.cfg.solver]
-            out = branch()
+            u, lam, info = self._solvers[key](self.rhs_f, self.rhs_g,
+                                              self.bc_values)
+            u = jax.block_until_ready(u)
+        self._finalize(u, lam, info)
         self.results.update(
             dofs_background=self.space.n_dofs,
             dofs_immersed=self.imm_space.n_dofs,
         )
-        return out
+        return u, lam, info
 
-    def _solve_schur_cg(self):
+    def _build_schur_cg(self):
         """Exact-Schur CG (immersed_laplace.cc:507-525)."""
         cfg = self.cfg
         K_c, K_inv = self._kg_inv()
         C_lin, Ct_lin = self._c_linops()
-        b0 = dirichlet_rhs(self.K.as_linop(), self.rhs_f, self.free,
-                           self.bc_values)
+        K_lin = self.K.as_linop()
+        free = self.free
 
-        def S(lam):
-            return C_lin(K_inv(Ct_lin(lam)))
+        def run(rhs_f, rhs_g, bc_values):
+            b0 = dirichlet_rhs(K_lin, rhs_f, free, bc_values)
 
-        rhs = C_lin(K_inv(b0)) - self.rhs_g
-        lam, info = cg(S, rhs, tol=cfg.schur.tolerance,
-                       reduction=cfg.schur.reduction,
-                       max_steps=cfg.schur.max_steps)
-        u = K_inv(b0 - Ct_lin(lam))
-        u = jnp.where(self.free, u, self.bc_values)
-        self._finalize(u, lam, info)
-        return u, lam, info
+            def S(lam):
+                return C_lin(K_inv(Ct_lin(lam)))
 
-    def _solve_elman(self):
+            rhs = C_lin(K_inv(b0)) - rhs_g
+            lam, info = cg(S, rhs, tol=cfg.schur.tolerance,
+                           reduction=cfg.schur.reduction,
+                           max_steps=cfg.schur.max_steps)
+            u = K_inv(b0 - Ct_lin(lam))
+            u = jnp.where(free, u, bc_values)
+            return u, lam, info
+
+        return jax.jit(run)
+
+    def _build_elman(self):
         """Elman BFBt block-triangular GMRES (immersed_laplace.cc:526-584)."""
         cfg = self.cfg
         K_c, K_inv = self._kg_inv()
         C_lin, Ct_lin = self._c_linops()
+        K_lin = self.K.as_linop()
         layout = self.layout
+        free = self.free
 
         def CCt(lam):
             return C_lin(Ct_lin(lam))
@@ -283,19 +302,21 @@ class ImmersedLaplaceProblem:
             return layout.concat((K_inv(x0) + K_inv(Ct_lin(s)), -s))
 
         AA = block_operator(layout, layout, [[K_c, Ct_lin], [C_lin, None]])
-        b0 = dirichlet_rhs(self.K.as_linop(), self.rhs_f, self.free,
-                           self.bc_values)
-        b = layout.concat((b0, self.rhs_g))
-        x, info = gmres(AA, b, prec, tol=cfg.schur.tolerance,
-                        reduction=cfg.schur.reduction,
-                        max_steps=cfg.schur.max_steps,
-                        restart=cfg.fgmres_restart)
-        u, lam = layout.split(x)
-        u = jnp.where(self.free, u, self.bc_values)
-        self._finalize(u, lam, info)
-        return u, lam, info
 
-    def _solve_rational(self):
+        def run(rhs_f, rhs_g, bc_values):
+            b0 = dirichlet_rhs(K_lin, rhs_f, free, bc_values)
+            b = layout.concat((b0, rhs_g))
+            x, info = gmres(AA, b, prec, tol=cfg.schur.tolerance,
+                            reduction=cfg.schur.reduction,
+                            max_steps=cfg.schur.max_steps,
+                            restart=cfg.fgmres_restart)
+            u, lam = layout.split(x)
+            u = jnp.where(free, u, bc_values)
+            return u, lam, info
+
+        return jax.jit(run)
+
+    def _build_rational(self):
         """MinRes + rational preconditioner diag(K⁻¹, (−Δ_Γ)^{-1/2})
         (immersed_laplace.cc:585-635, rational_preconditioner.h)."""
         from ..precond.rational import rational_preconditioner
@@ -303,23 +324,27 @@ class ImmersedLaplaceProblem:
         cfg = self.cfg
         K_c, K_inv = self._kg_inv()
         C_lin, Ct_lin = self._c_linops()
+        K_lin = self.K.as_linop()
         layout = self.layout
+        free = self.free
         # rho bound: linfty norm of A_imm over min diag of M (lines 609-614)
         A_dense_norm = self._imm_linfty_norm(self.A_imm)
         rho_bound = A_dense_norm / float(self.M.diag().min())
         prec = rational_preconditioner(layout, K_inv, self.A_imm, self.M,
                                        rho_bound)
         AA = block_operator(layout, layout, [[K_c, Ct_lin], [C_lin, None]])
-        b0 = dirichlet_rhs(self.K.as_linop(), self.rhs_f, self.free,
-                           self.bc_values)
-        b = layout.concat((b0, self.rhs_g))
-        x, info = minres(AA, b, prec, tol=cfg.schur.tolerance,
-                         reduction=cfg.schur.reduction,
-                         max_steps=cfg.schur.max_steps)
-        u, lam = layout.split(x)
-        u = jnp.where(self.free, u, self.bc_values)
-        self._finalize(u, lam, info)
-        return u, lam, info
+
+        def run(rhs_f, rhs_g, bc_values):
+            b0 = dirichlet_rhs(K_lin, rhs_f, free, bc_values)
+            b = layout.concat((b0, rhs_g))
+            x, info = minres(AA, b, prec, tol=cfg.schur.tolerance,
+                             reduction=cfg.schur.reduction,
+                             max_steps=cfg.schur.max_steps)
+            u, lam = layout.split(x)
+            u = jnp.where(free, u, bc_values)
+            return u, lam, info
+
+        return jax.jit(run)
 
     @staticmethod
     def _imm_linfty_norm(A) -> float:
@@ -328,12 +353,13 @@ class ImmersedLaplaceProblem:
         np.add.at(sums, rows, np.abs(vals))
         return float(sums.max())
 
-    def _solve_augmented(self):
+    def _build_augmented(self):
         """FGMRES + AL preconditioner (immersed_laplace.cc:636-944)."""
         cfg = self.cfg
         C_lin, Ct_lin = self._c_linops()
         layout = self.layout
         K_lin = self.K.as_linop()
+        free = self.free
 
         if cfg.use_operator_form:
             # gamma scaled by 1/h_Gamma; AL term = particle mass on Gamma
@@ -391,19 +417,21 @@ class ImmersedLaplaceProblem:
             return x
 
         AA = block_operator(layout, layout, [[Aug, Ct_lin], [C_lin, None]])
-        b0 = dirichlet_rhs(K_lin, self.rhs_f, self.free, self.bc_values)
-        b0 = b0 + jnp.where(self.free, gamma * Ct_lin(inv_w(self.rhs_g)), 0.0)
-        b = layout.concat((b0, self.rhs_g))
-
         prec = al_preconditioner(layout, aug_inv, Ct_lin, inv_w, gamma)
-        x, info = fgmres(AA, b, prec, tol=cfg.schur.tolerance,
-                         reduction=cfg.schur.reduction,
-                         max_steps=cfg.schur.max_steps,
-                         restart=cfg.fgmres_restart)
-        u, lam = layout.split(x)
-        u = jnp.where(self.free, u, self.bc_values)
-        self._finalize(u, lam, info)
-        return u, lam, info
+
+        def run(rhs_f, rhs_g, bc_values):
+            b0 = dirichlet_rhs(K_lin, rhs_f, free, bc_values)
+            b0 = b0 + jnp.where(free, gamma * Ct_lin(inv_w(rhs_g)), 0.0)
+            b = layout.concat((b0, rhs_g))
+            x, info = fgmres(AA, b, prec, tol=cfg.schur.tolerance,
+                             reduction=cfg.schur.reduction,
+                             max_steps=cfg.schur.max_steps,
+                             restart=cfg.fgmres_restart)
+            u, lam = layout.split(x)
+            u = jnp.where(free, u, bc_values)
+            return u, lam, info
+
+        return jax.jit(run)
 
     def _finalize(self, u, lam, info):
         self.u = u

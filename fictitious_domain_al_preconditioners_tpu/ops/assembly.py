@@ -83,28 +83,34 @@ def _cell_quad_points(space: GridSpace, order: int):
 def rhs_vector(space: GridSpace, fn, order: int | None = None):
     """(f, phi_i) load vector for a traceable ``fn(points) -> values``.
 
-    Scalar fn -> (ndofs,); vector fn -> (ndofs, ncomp)."""
+    Scalar fn -> (ndofs,); vector fn -> (ndofs, ncomp).  Runs as one jitted
+    computation (single device dispatch)."""
+    import jax
+
     order = order or default_order(space)
     rule, pts, jxw = _cell_quad_points(space, order)
     tab = jnp.asarray(space.fe.tabulate(rule.points))  # (nq, nloc)
     nc, nq, dim = pts.shape
-    fv = jnp.asarray(fn(jnp.asarray(pts.reshape(-1, dim))))
-    w_tab = tab * jnp.asarray(jxw)[:, None]  # (nq, nloc)
-    if fv.ndim == 1:
-        fv = fv.reshape(nc, nq)
-        be = jnp.einsum("cq,qa->ca", fv, w_tab)
-        out = jnp.zeros(space.n_dofs, dtype=be.dtype)
+
+    def build():
+        fv = jnp.asarray(fn(jnp.asarray(pts.reshape(-1, dim))))
+        w_tab = tab * jnp.asarray(jxw)[:, None]  # (nq, nloc)
+        if fv.ndim == 1:
+            be = jnp.einsum("cq,qa->ca", fv.reshape(nc, nq), w_tab)
+            out = jnp.zeros(space.n_dofs, dtype=be.dtype)
+            return out.at[jnp.asarray(space.cell_dofs)].add(be)
+        ncomp = fv.shape[1]
+        be = jnp.einsum("cqk,qa->cak", fv.reshape(nc, nq, ncomp), w_tab)
+        out = jnp.zeros((space.n_dofs, ncomp), dtype=be.dtype)
         return out.at[jnp.asarray(space.cell_dofs)].add(be)
-    ncomp = fv.shape[1]
-    fv = fv.reshape(nc, nq, ncomp)
-    be = jnp.einsum("cqk,qa->cak", fv, w_tab)
-    out = jnp.zeros((space.n_dofs, ncomp), dtype=be.dtype)
-    return out.at[jnp.asarray(space.cell_dofs)].add(be)
+
+    return jax.jit(build)()
 
 
 def interpolate(space: GridSpace, fn):
-    """Nodal interpolation (VectorTools::interpolate)."""
-    return jnp.asarray(fn(jnp.asarray(space.dof_points)))
+    """Nodal interpolation (VectorTools::interpolate) — host-side NumPy
+    evaluation, transferred to device once."""
+    return jnp.asarray(np.asarray(fn(space.dof_points)))
 
 
 def _eval_at_quad(space: GridSpace, u, tab):
@@ -118,30 +124,42 @@ def _eval_at_quad(space: GridSpace, u, tab):
 def l2_error(space: GridSpace, u, exact_fn, order: int | None = None) -> float:
     """||u_h - u||_L2 by quadrature (VectorTools::integrate_difference +
     compute_global_error, elliptic_interface.cc:1020-1051)."""
+    import jax
+
     order = order or (space.fe.degree + 2)
     rule, pts, jxw = _cell_quad_points(space, order)
     tab = jnp.asarray(space.fe.tabulate(rule.points))
     nc, nq, dim = pts.shape
-    uh = _eval_at_quad(space, u, tab)
-    ex = jnp.asarray(exact_fn(jnp.asarray(pts.reshape(-1, dim)))).reshape(uh.shape)
-    diff2 = (uh - ex) ** 2
-    if diff2.ndim == 3:
-        diff2 = diff2.sum(-1)
-    return float(jnp.sqrt(jnp.sum(diff2 * jnp.asarray(jxw)[None, :])))
+
+    def build(u):
+        uh = _eval_at_quad(space, u, tab)
+        ex = jnp.asarray(exact_fn(jnp.asarray(pts.reshape(-1, dim)))).reshape(uh.shape)
+        diff2 = (uh - ex) ** 2
+        if diff2.ndim == 3:
+            diff2 = diff2.sum(-1)
+        return jnp.sqrt(jnp.sum(diff2 * jnp.asarray(jxw)[None, :]))
+
+    return float(jax.jit(build)(u))
 
 
 def h1_error(space: GridSpace, u, exact_grad_fn, order: int | None = None) -> float:
     """H1-seminorm error; ``exact_grad_fn(points) -> (n, dim)``."""
+    import jax
+
     order = order or (space.fe.degree + 2)
     rule, pts, jxw = _cell_quad_points(space, order)
     grad = space.fe.tabulate_grad(rule.points) / space.grid.h[None, None, :]
     grad = jnp.asarray(grad)  # (nq, nloc, dim) physical gradients
     nc, nq, dim = pts.shape
-    ue = u[jnp.asarray(space.cell_dofs)]  # (nc, nloc)
-    gh = jnp.einsum("ca,qad->cqd", ue, grad)
-    ge = jnp.asarray(exact_grad_fn(jnp.asarray(pts.reshape(-1, dim)))).reshape(nc, nq, dim)
-    diff2 = jnp.sum((gh - ge) ** 2, axis=-1)
-    return float(jnp.sqrt(jnp.sum(diff2 * jnp.asarray(jxw)[None, :])))
+
+    def build(u):
+        ue = u[jnp.asarray(space.cell_dofs)]  # (nc, nloc)
+        gh = jnp.einsum("ca,qad->cqd", ue, grad)
+        ge = jnp.asarray(exact_grad_fn(jnp.asarray(pts.reshape(-1, dim)))).reshape(nc, nq, dim)
+        diff2 = jnp.sum((gh - ge) ** 2, axis=-1)
+        return jnp.sqrt(jnp.sum(diff2 * jnp.asarray(jxw)[None, :]))
+
+    return float(jax.jit(build)(u))
 
 
 # ---------------------------------------------------------------------------
@@ -182,7 +200,7 @@ def imm_rhs(ispace: ImmersedSpace, fn, order: int | None = None):
     tab = ispace.fe.tabulate(rule.points)
     X, _, jxw = ispace.mesh.quad_geometry(rule)  # (nc, nq, sd), (nc, nq)
     nc, nq, sd = X.shape
-    fv = np.asarray(fn(jnp.asarray(X.reshape(-1, sd))))
+    fv = np.asarray(fn(X.reshape(-1, sd)))  # host-side NumPy evaluation
     if fv.ndim == 1:
         be = np.einsum("cq,qa,cq->ca", fv.reshape(nc, nq), tab, jxw)
         out = np.zeros(ispace.n_dofs)

@@ -175,31 +175,38 @@ def lanczos_max_eig(A: Callable, n: int, steps: int = 8, key=None,
                     dtype=jnp.float64):
     """Largest-eigenvalue estimate by ``steps`` Lanczos iterations — replaces
     ``compute_l2_norm_matrix``'s 8-step Lanczos on CCᵀ (utilities.h:37-60) and
-    feeds Chebyshev smoother bounds."""
+    feeds Chebyshev smoother bounds.  Runs as ONE jitted computation (a single
+    device dispatch — setup-time calls would otherwise scatter hundreds of tiny
+    eager ops)."""
     import numpy as np
 
     key = key if key is not None else jax.random.PRNGKey(0)
-    v = jax.random.normal(key, (n,), dtype=dtype)
-    v = v / _norm(v)
-    alphas, betas = [], []
-    v_prev = jnp.zeros_like(v)
-    beta = 0.0
-    for _ in range(steps):
-        w = A(v) - beta * v_prev
-        alpha = _dot(v, w)
-        w = w - alpha * v
-        beta_new = _norm(w)
-        alphas.append(float(alpha))
-        betas.append(float(beta_new))
-        v_prev = v
-        v = w / jnp.maximum(beta_new, 1e-300)
-        beta = beta_new
-    m = len(alphas)
-    T = np.zeros((m, m))
-    for i in range(m):
-        T[i, i] = alphas[i]
-        if i + 1 < m:
-            T[i + 1, i] = T[i, i + 1] = betas[i]
+
+    def run(key):
+        v = jax.random.normal(key, (n,), dtype=dtype)
+        v = v / _norm(v)
+        alphas = jnp.zeros(steps, dtype=dtype)
+        betas = jnp.zeros(steps, dtype=dtype)
+        v_prev = jnp.zeros_like(v)
+        beta = jnp.asarray(0.0, dtype)
+        for i in range(steps):
+            w = A(v) - beta * v_prev
+            alpha = _dot(v, w)
+            w = w - alpha * v
+            beta_new = _norm(w)
+            alphas = alphas.at[i].set(alpha)
+            betas = betas.at[i].set(beta_new)
+            v_prev = v
+            v = w / jnp.maximum(beta_new, 1e-300)
+            beta = beta_new
+        return alphas, betas
+
+    alphas, betas = jax.jit(run)(key)
+    alphas = np.asarray(alphas)
+    betas = np.asarray(betas)
+    T = np.diag(alphas)
+    for i in range(steps - 1):
+        T[i + 1, i] = T[i, i + 1] = betas[i]
     return float(np.linalg.eigvalsh(T).max())
 
 

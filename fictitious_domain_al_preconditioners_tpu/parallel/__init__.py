@@ -1,0 +1,7 @@
+from .lattice import LatticeOps, to_lattice, to_flat, flat_to_lattice
+from .mesh import (make_mesh, lattice_sharding, replicated,
+                   sharded_al_cg_step, padded_shape)
+
+__all__ = ["LatticeOps", "to_lattice", "to_flat", "flat_to_lattice",
+           "make_mesh", "lattice_sharding", "replicated",
+           "sharded_al_cg_step", "padded_shape"]

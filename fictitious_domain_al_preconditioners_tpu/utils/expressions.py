@@ -27,6 +27,7 @@ from dataclasses import dataclass
 from typing import Callable, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["ParsedFunction", "compile_expression", "parse_constants"]
 
@@ -62,36 +63,45 @@ def _tokenize(src: str):
 # Nodes are plain tuples: ("num", v) | ("var", i) | ("call", fn, [args]) |
 # ("bin", op, a, b) | ("neg", a) | ("not", a)
 
-_FUNCS_1 = {
-    "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan,
-    "asin": jnp.arcsin, "acos": jnp.arccos, "atan": jnp.arctan,
-    "sinh": jnp.sinh, "cosh": jnp.cosh, "tanh": jnp.tanh,
-    "exp": jnp.exp, "log": jnp.log, "ln": jnp.log,
-    "log2": jnp.log2, "log10": jnp.log10, "exp2": jnp.exp2,
-    "sqrt": jnp.sqrt, "abs": jnp.abs, "floor": jnp.floor,
-    "ceil": jnp.ceil, "sign": jnp.sign, "int": jnp.trunc,
-}
-_FUNCS_2 = {
-    "atan2": jnp.arctan2, "pow": jnp.power, "hypot": jnp.hypot,
-    "mod": jnp.mod, "fmod": jnp.mod,
-}
-_FUNCS_N = {"min": jnp.minimum, "max": jnp.maximum}
+# Two backends: jnp for traced/jitted evaluation (assembly inside jit), numpy
+# for host-side setup (mesh geometry) where eager device dispatch would be
+# wasteful — essential under the axon tunnel where each eager primitive pays a
+# multi-second remote compile.
+def _make_tables(xp):
+    funcs_1 = {
+        "sin": xp.sin, "cos": xp.cos, "tan": xp.tan,
+        "asin": xp.arcsin, "acos": xp.arccos, "atan": xp.arctan,
+        "sinh": xp.sinh, "cosh": xp.cosh, "tanh": xp.tanh,
+        "exp": xp.exp, "log": xp.log, "ln": xp.log,
+        "log2": xp.log2, "log10": xp.log10, "exp2": xp.exp2,
+        "sqrt": xp.sqrt, "abs": xp.abs, "floor": xp.floor,
+        "ceil": xp.ceil, "sign": xp.sign, "int": xp.trunc,
+    }
+    funcs_2 = {
+        "atan2": xp.arctan2, "pow": xp.power, "hypot": xp.hypot,
+        "mod": xp.mod, "fmod": xp.mod,
+    }
+    funcs_n = {"min": xp.minimum, "max": xp.maximum}
+    bin_ops = {
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+        "*": lambda a, b: a * b,
+        "/": lambda a, b: a / b,
+        "^": xp.power,
+        "<": lambda a, b: a < b,
+        ">": lambda a, b: a > b,
+        "<=": lambda a, b: a <= b,
+        ">=": lambda a, b: a >= b,
+        "==": lambda a, b: a == b,
+        "!=": lambda a, b: a != b,
+        "&&": xp.logical_and,
+        "||": xp.logical_or,
+    }
+    return funcs_1, funcs_2, funcs_n, bin_ops, xp
 
-_BIN_OPS = {
-    "+": lambda a, b: a + b,
-    "-": lambda a, b: a - b,
-    "*": lambda a, b: a * b,
-    "/": lambda a, b: a / b,
-    "^": jnp.power,
-    "<": lambda a, b: a < b,
-    ">": lambda a, b: a > b,
-    "<=": lambda a, b: a <= b,
-    ">=": lambda a, b: a >= b,
-    "==": lambda a, b: a == b,
-    "!=": lambda a, b: a != b,
-    "&&": jnp.logical_and,
-    "||": jnp.logical_or,
-}
+
+_JNP_TABLES = _make_tables(jnp)
+_NP_TABLES = _make_tables(np)
 
 
 class _Parser:
@@ -210,39 +220,45 @@ class _Parser:
         raise ValueError(f"unexpected token {val!r}")
 
 
-def _eval_ast(node, vals):
+def _eval_ast(node, vals, tables):
+    funcs_1, funcs_2, funcs_n, bin_ops, xp = tables
     tag = node[0]
     if tag == "num":
         return node[1]
     if tag == "var":
         return vals[node[1]]
     if tag == "neg":
-        return -_eval_ast(node[1], vals)
+        return -_eval_ast(node[1], vals, tables)
     if tag == "not":
-        return jnp.logical_not(_eval_ast(node[1], vals))
+        return xp.logical_not(_eval_ast(node[1], vals, tables))
     if tag == "bin":
         _, op, a, b = node
-        return _BIN_OPS[op](_eval_ast(a, vals), _eval_ast(b, vals))
+        return bin_ops[op](_eval_ast(a, vals, tables),
+                           _eval_ast(b, vals, tables))
     if tag == "call":
         _, name, args = node
-        evald = [_eval_ast(a, vals) for a in args]
+        evald = [_eval_ast(a, vals, tables) for a in args]
         if name == "if":
             if len(evald) != 3:
                 raise ValueError("if() takes exactly 3 arguments")
-            return jnp.where(evald[0], evald[1], evald[2])
-        if name in _FUNCS_1:
+            return xp.where(evald[0], evald[1], evald[2])
+        if name in funcs_1:
             (a,) = evald
-            return _FUNCS_1[name](a)
-        if name in _FUNCS_2:
+            return funcs_1[name](a)
+        if name in funcs_2:
             a, b = evald
-            return _FUNCS_2[name](a, b)
-        if name in _FUNCS_N:
+            return funcs_2[name](a, b)
+        if name in funcs_n:
             out = evald[0]
             for v in evald[1:]:
-                out = _FUNCS_N[name](out, v)
+                out = funcs_n[name](out, v)
             return out
         raise ValueError(f"unknown function {name!r}")
     raise AssertionError(node)
+
+
+def _is_numpy(x) -> bool:
+    return isinstance(x, (np.ndarray, np.generic, float, int))
 
 
 def parse_constants(spec: str) -> dict:
@@ -258,12 +274,16 @@ def parse_constants(spec: str) -> dict:
 
 
 def compile_expression(expr: str, variables: Sequence[str], constants: dict | None = None) -> Callable:
-    """Compile a single scalar expression into ``f(*vals) -> jnp array``."""
+    """Compile a single scalar expression into ``f(*vals) -> array``.
+
+    Backend follows the inputs: NumPy arrays evaluate in NumPy on the host,
+    anything else (jax arrays / tracers) in jax.numpy."""
     var_index = {v.strip(): i for i, v in enumerate(variables)}
     ast = _Parser(_tokenize(expr), var_index, constants or {}).parse()
 
     def fn(*vals):
-        return _eval_ast(ast, vals)
+        tables = _NP_TABLES if all(_is_numpy(v) for v in vals) else _JNP_TABLES
+        return _eval_ast(ast, vals, tables)
 
     return fn
 
@@ -299,18 +319,19 @@ class ParsedFunction:
         return len(self._fns)
 
     def __call__(self, points, t: float = 0.0):
-        points = jnp.atleast_2d(points)
+        xp = np if _is_numpy(points) else jnp
+        points = xp.atleast_2d(points)
         n, dim = points.shape
         vals = []
         for i, name in enumerate(self._names):
             if name == "t":
-                vals.append(jnp.full((n,), t, dtype=points.dtype))
+                vals.append(xp.full((n,), t, dtype=points.dtype))
             elif i < dim:
                 vals.append(points[:, i])
             else:
-                vals.append(jnp.zeros((n,), dtype=points.dtype))
-        comps = [jnp.broadcast_to(jnp.asarray(f(*vals), dtype=points.dtype), (n,))
+                vals.append(xp.zeros((n,), dtype=points.dtype))
+        comps = [xp.broadcast_to(xp.asarray(f(*vals), dtype=points.dtype), (n,))
                  for f in self._fns]
         if len(comps) == 1:
             return comps[0]
-        return jnp.stack(comps, axis=-1)
+        return xp.stack(comps, axis=-1)

@@ -1,0 +1,105 @@
+"""Tests for lattice operators and the sharded solve path (8 virtual CPU devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fictitious_domain_al_preconditioners_tpu.core import GridSpace, UniformGrid, parametrized_curve
+from fictitious_domain_al_preconditioners_tpu.ops import laplace_matrix, mass_matrix, build_coupling
+from fictitious_domain_al_preconditioners_tpu.parallel import (
+    LatticeOps, make_mesh, lattice_sharding, sharded_al_cg_step, to_flat,
+    to_lattice,
+)
+
+
+def circle_conf(pts):
+    s = pts[:, 0]
+    return np.stack([0.2 * np.cos(2 * np.pi * s) + 0.4,
+                     0.2 * np.sin(2 * np.pi * s) + 0.4], axis=1)
+
+
+class TestLatticeOps:
+    @pytest.mark.parametrize("dim", [1, 2, 3])
+    def test_matches_element_form(self, dim):
+        g = UniformGrid.hyper_cube(dim, 0.0, 1.0, refinement=3 if dim < 3 else 2)
+        sp = GridSpace.q(g, 1)
+        lat = LatticeOps.for_space(sp)
+        K = laplace_matrix(sp)
+        M = mass_matrix(sp)
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.standard_normal(sp.n_dofs))
+        ul = to_lattice(sp, u)
+        np.testing.assert_allclose(np.asarray(to_flat(lat.laplace(ul))),
+                                   np.asarray(K.mv(u)), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(to_flat(lat.mass(ul))),
+                                   np.asarray(M.mv(u)), atol=1e-13)
+
+    def test_anisotropic_grid(self):
+        g = UniformGrid(2, (0.0, 0.0), (2.0, 1.0), (8, 4))
+        sp = GridSpace.q(g, 1)
+        lat = LatticeOps.for_space(sp)
+        K = laplace_matrix(sp)
+        rng = np.random.default_rng(1)
+        u = jnp.asarray(rng.standard_normal(sp.n_dofs))
+        np.testing.assert_allclose(
+            np.asarray(to_flat(lat.laplace(to_lattice(sp, u)))),
+            np.asarray(K.mv(u)), atol=1e-11)
+
+    def test_roundtrip(self):
+        g = UniformGrid.hyper_cube(3, 0.0, 1.0, refinement=2)
+        sp = GridSpace.q(g, 1)
+        u = jnp.arange(sp.n_dofs, dtype=jnp.float64)
+        np.testing.assert_array_equal(np.asarray(to_flat(to_lattice(sp, u))),
+                                      np.asarray(u))
+
+
+class TestSharded:
+    def test_mesh_and_sharded_step(self):
+        assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"
+        mesh = make_mesh(8)
+        assert mesh.devices.size == 8
+
+        g = UniformGrid.hyper_cube(2, 0.0, 1.0, refinement=4)
+        sp = GridSpace.q(g, 1)
+        from fictitious_domain_al_preconditioners_tpu.parallel import padded_shape
+
+        pshape = padded_shape(sp.n_points_1d, mesh)
+        lat = LatticeOps.for_space(sp, padded=pshape)
+        curve = parametrized_curve(circle_conf, refinement=4)
+        C = build_coupling(sp, curve.space(1), 3)
+        gamma = 10.0
+
+        step = sharded_al_cg_step(mesh, lat, C, gamma, n_cg=8)
+        shard = lattice_sharding(mesh)
+        rng = np.random.default_rng(0)
+        b_true = jnp.asarray(rng.standard_normal(sp.n_points_1d))
+        b = jax.device_put(lat.pad(b_true), shard)
+        jitted = jax.jit(step, in_shardings=shard, out_shardings=shard)
+        x = jax.block_until_ready(jitted(b))
+        assert x.shape == pshape
+        x = lat.unpad(x)
+
+        # compare with the single-device element-form result
+        K = laplace_matrix(sp)
+
+        def aug(u):
+            vals = C.interp_bg(u) * C.jxw
+            al = jnp.zeros_like(u).at[C.bg_dofs].add(C.bg_phi * vals[:, None])
+            return K.mv(u) + gamma * al
+
+        bf = to_flat(b_true)
+        x_ref = jnp.zeros_like(bf)
+        r = bf
+        p = r
+        rz = jnp.sum(r * r)
+        for _ in range(8):
+            Ap = aug(p)
+            alpha = rz / jnp.sum(p * Ap)
+            x_ref = x_ref + alpha * p
+            r = r - alpha * Ap
+            rz_new = jnp.sum(r * r)
+            p = r + (rz_new / rz) * p
+            rz = rz_new
+        np.testing.assert_allclose(np.asarray(to_flat(x)), np.asarray(x_ref),
+                                   rtol=1e-9, atol=1e-9)
