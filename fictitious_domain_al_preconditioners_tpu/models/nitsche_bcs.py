@@ -1,0 +1,300 @@
+"""Dirichlet boundary conditions imposed weakly via a boundary Lagrange
+multiplier ("Nitsche"-style), with AL-preconditioned FGMRES.
+
+TPU-native re-implementation of the reference's ``nitsche_bcs`` executable
+(nitsche_bcs.cc, class ``NitscheLagrangeProblem``):
+
+    -Δu + u = f in Ω,  u = g on ∂Ω (weakly):
+    [ K + γ(1/h)∫φφ   C  ] [u]   [f + γ(1/h)∫φg]
+    [ Cᵀ              0  ] [λ] = [(g, μ)]
+
+where the multiplier lives on the *boundary mesh of the bulk grid itself*
+(extract_boundary_mesh, nitsche_bcs.cc:265-267).  In the uniform-grid design
+the boundary mesh is exactly aligned with bulk faces, so the face-pairing
+coupling assembly of the reference reduces to the generic quad-point coupling
+table (point location on boundary faces is exact index arithmetic).
+
+Reports the reference's metrics: outer FGMRES iterations, TOTAL inner CG
+iterations and inner-CG-per-outer (nitsche_bcs.cc:652-667), plus the
+manufactured-solution convergence study (u = sin(πx)sin(πy)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.generators import background_grid_from_name
+from ..core.grid import GridSpace
+from ..core.immersed import boundary_mesh
+from ..ops.assembly import (imm_mass_matrix, imm_rhs, laplace_matrix,
+                            mass_matrix, rhs_vector, l2_error, h1_error)
+from ..ops.blocks import BlockLayout, block_operator
+from ..ops.coupling import build_coupling
+from ..ops.krylov import cg, fgmres
+from ..ops.linop import LinOp
+from ..precond.al import al_preconditioner
+from ..precond.gmg import build_gmg
+from ..precond.weights import inv_exact
+from ..utils.expressions import ParsedFunction
+from ..utils.prm import Params, parse_prm
+from ..utils.report import ConvergenceTable
+from ..utils.timer import TimerOutput
+
+__all__ = ["NitscheConfig", "NitscheProblem"]
+
+
+def manufactured_solution(p):
+    return jnp.sin(jnp.pi * p[:, 0]) * jnp.sin(jnp.pi * p[:, 1])
+
+
+def manufactured_gradient(p):
+    gx = jnp.pi * jnp.cos(jnp.pi * p[:, 0]) * jnp.sin(jnp.pi * p[:, 1])
+    gy = jnp.pi * jnp.sin(jnp.pi * p[:, 0]) * jnp.cos(jnp.pi * p[:, 1])
+    return jnp.stack([gx, gy], axis=1)
+
+
+def manufactured_rhs(p):
+    # -Δu + u with u = sin(pi x) sin(pi y)  (nitsche_bcs.cc:81-89)
+    xp = np if isinstance(p, np.ndarray) else jnp
+    return (2.0 * np.pi ** 2 + 1.0) * xp.sin(np.pi * p[:, 0]) * xp.sin(np.pi * p[:, 1])
+
+
+@dataclass
+class ControlConfig:
+    max_steps: int = 1000
+    tolerance: float = 1e-8
+    reduction: float | None = None
+
+
+@dataclass
+class NitscheConfig:
+    """Mirror of the reference Parameters (nitsche_bcs.cc:101-242)."""
+
+    initial_refinement: int = 4
+    n_refinement_cycles: int = 1
+    name_of_grid: str = "hyper_cube"
+    arguments_for_grid: str = "0.0: 1.0: true"
+    bulk_space_degree: int = 1
+    multiplier_degree: int = 1
+    use_discontinuous_multiplier: bool = False
+    coupling_quadrature_order: int = 3
+    use_manufactured_solution: bool = False
+    rhs: tuple = ("1", "")
+    dirichlet_data: tuple = ("0", "")
+    outer: ControlConfig = field(default_factory=ControlConfig)
+    inner: ControlConfig = field(default_factory=lambda: ControlConfig(
+        max_steps=1000, tolerance=1e-12, reduction=1e-2))
+    gamma: float = 10.0  # hardcoded (nitsche_bcs.cc:513)
+    fgmres_restart: int = 50
+
+    @classmethod
+    def from_prm(cls, text_or_path) -> "NitscheConfig":
+        text = text_or_path
+        if "\n" not in str(text_or_path):
+            with open(text_or_path) as fh:
+                text = fh.read()
+        p = Params(parse_prm(text)).enter("Nitsche Lagrange<1,2>")
+
+        def ctl(section, **d):
+            s = p.enter(section)
+            red = s.get_float("Reduction", d.get("reduction", 0.0))
+            return ControlConfig(
+                max_steps=s.get_int("Max steps", d.get("max_steps", 100)),
+                tolerance=s.get_float("Tolerance", d.get("tolerance", 1e-10)),
+                reduction=red if red > 0 else None)
+
+        def fn(section, default):
+            s = p.enter(section)
+            return (s.get_str("Function expression", default),
+                    s.get_str("Function constants", ""))
+
+        return cls(
+            initial_refinement=p.get_int("Initial space refinement", 4),
+            n_refinement_cycles=p.get_int("Number of refinement cycles", 1),
+            name_of_grid=p.get_str("Name of the grid", "hyper_cube"),
+            arguments_for_grid=p.get_str("Arguments for the grid", "0.0: 1.0: true"),
+            bulk_space_degree=p.get_int("Bulk space finite element degree", 1),
+            multiplier_degree=p.get_int("Multiplier finite element degree", 1),
+            use_discontinuous_multiplier=p.get_bool("Use discontinuous multiplier space", False),
+            coupling_quadrature_order=p.get_int("Coupling quadrature order", 3),
+            use_manufactured_solution=p.get_bool("Use manufactured solution", False),
+            rhs=fn("Right hand side", "1"),
+            dirichlet_data=fn("Dirichlet boundary data", "0"),
+            outer=ctl("Outer solver control", max_steps=1000, tolerance=1e-8),
+            inner=ctl("Inner solver control", max_steps=1000, tolerance=1e-12,
+                      reduction=1e-2),
+        )
+
+
+class NitscheProblem:
+    def __init__(self, config: NitscheConfig):
+        self.cfg = config
+        self.timer = TimerOutput()
+        self.table = ConvergenceTable()
+        self.results = {}
+
+    def setup(self, cycle: int = 0):
+        cfg = self.cfg
+        with self.timer.scope("Setup grids and dofs"):
+            self.grid = background_grid_from_name(
+                cfg.name_of_grid, cfg.arguments_for_grid, 2,
+                cfg.initial_refinement + cycle)
+            self.space = GridSpace.q(self.grid, cfg.bulk_space_degree)
+            self.bmesh = boundary_mesh(self.grid)
+            self.mult_space = self.bmesh.space(
+                cfg.multiplier_degree,
+                continuous=not cfg.use_discontinuous_multiplier)
+
+        deg = cfg.bulk_space_degree
+        # single shared boundary quadrature (nitsche_bcs.cc:404-407)
+        self.boundary_q = max(2 * deg + 1, 2 * max(cfg.multiplier_degree, 1) + 1,
+                              cfg.coupling_quadrature_order)
+        with self.timer.scope("Assemble system"):
+            # K = (grad u, grad v) + (u, v): NO strong Dirichlet rows
+            self.K = laplace_matrix(self.space, order=deg + 1)
+            self.Mbulk = mass_matrix(self.space, order=deg + 1)
+            if cfg.use_manufactured_solution:
+                self.f_fn = manufactured_rhs
+                self.g_fn = lambda p: (np.zeros(p.shape[0])
+                                       if isinstance(p, np.ndarray)
+                                       else jnp.zeros(p.shape[0]))
+            else:
+                self.f_fn = ParsedFunction(*cfg.rhs)
+                self.g_fn = ParsedFunction(*cfg.dirichlet_data)
+            self.rhs_f = rhs_vector(self.space, self.f_fn, order=deg + 1)
+            self.M = imm_mass_matrix(self.mult_space, order=self.boundary_q)
+            self.rhs_g = imm_rhs(self.mult_space, self.g_fn,
+                                 order=self.boundary_q)
+        with self.timer.scope("Setup coupling"):
+            self.C = build_coupling(self.space, self.mult_space,
+                                    order=self.boundary_q)
+        # DEBUG sanity: sum(C) == |boundary| (nitsche_bcs.cc:467-490)
+        measure = self.bmesh.measure
+        assert abs(self.C.sum() - measure) < 1e-10 * max(measure, 1.0), \
+            "Coupling matrix sum does not match the boundary measure"
+        self.layout = BlockLayout((self.space.n_dofs, self.mult_space.n_dofs))
+        self._solver = None
+        return self
+
+    def _build_solver(self):
+        cfg = self.cfg
+        layout = self.layout
+        h_boundary = self.bmesh.h_max
+        inv_w_scale = 1.0 / h_boundary
+        gamma = cfg.gamma
+
+        def bulk_mv(x):
+            return self.K.mv(x) + self.Mbulk.mv(x)
+
+        # particle AL term with gamma*(1/h) scaling (nitsche_bcs.cc:515-572)
+        AL = self.C.particle_mass_term(gamma * inv_w_scale)
+        al_diag = self.C.particle_mass_diag(gamma * inv_w_scale)
+
+        def aug_mv(x):
+            return bulk_mv(x) + AL(x)
+
+        free = jnp.ones(self.space.n_dofs, dtype=bool)  # no strong Dirichlet
+
+        def factory(sp):
+            if sp is self.space:
+                return aug_mv, (self.K.diag() + self.Mbulk.diag() + al_diag)
+            K_l = laplace_matrix(sp, order=cfg.bulk_space_degree + 1)
+            M_l = mass_matrix(sp, order=cfg.bulk_space_degree + 1)
+            Cl = build_coupling(sp, self.mult_space, order=self.boundary_q)
+            ALl = Cl.particle_mass_term(gamma * inv_w_scale)
+
+            def mv(x):
+                return K_l.mv(x) + M_l.mv(x) + ALl(x)
+
+            return mv, (K_l.diag() + M_l.diag() +
+                        Cl.particle_mass_diag(gamma * inv_w_scale))
+
+        gmg = build_gmg(self.space, factory, free_mask=free)
+        inv_w = inv_exact(self.M, scale=inv_w_scale)
+
+        def aug_inv_counted(v):
+            x, info = cg(aug_mv, v, M=gmg.apply, tol=cfg.inner.tolerance,
+                         reduction=cfg.inner.reduction,
+                         max_steps=cfg.inner.max_steps)
+            return x, info.iterations.astype(v.dtype)
+
+        C_lin = LinOp(self.C.mv, self.C.shape, self.C.rmv)
+        Ct_lin = C_lin.T
+        AA = block_operator(layout, layout,
+                            [[LinOp(aug_mv, (layout.sizes[0],) * 2), Ct_lin],
+                             [C_lin, None]])
+
+        def prec_counted(u):
+            u0, u1 = layout.split(u)
+            v1 = -gamma * inv_w(u1)
+            v0, inner_its = aug_inv_counted(u0 - Ct_lin(v1))
+            return layout.concat((v0, v1)), inner_its
+
+        # consistent RHS augmentation gamma*(1/h)*(g, phi_i)_boundary
+        # (nitsche_bcs.cc:588-632): assembled from the quad-point table
+        pts = self.C.points
+        g_q = jnp.asarray(np.asarray(self.g_fn(pts)))
+        aug_rhs = gamma * inv_w_scale * np.asarray(
+            jnp.zeros(self.space.n_dofs).at[self.C.bg_dofs].add(
+                self.C.bg_phi * (g_q * self.C.jxw)[:, None]))
+        aug_rhs = jnp.asarray(aug_rhs)
+
+        def run(rhs_f, rhs_g):
+            b = layout.concat((rhs_f + aug_rhs, rhs_g))
+            x, info, inner_total = fgmres(
+                AA, b, prec_counted, tol=cfg.outer.tolerance,
+                reduction=cfg.outer.reduction, max_steps=cfg.outer.max_steps,
+                restart=cfg.fgmres_restart, m_returns_aux=True)
+            return x, info, inner_total
+
+        return jax.jit(run)
+
+    def solve(self):
+        cfg = self.cfg
+        if self._solver is None:
+            with self.timer.scope("Build solver"):
+                self._solver = self._build_solver()
+        with self.timer.scope("Solve system"):
+            x, info, inner_total = self._solver(self.rhs_f, self.rhs_g)
+            x = jax.block_until_ready(x)
+        self.u, self.lam = self.layout.split(x)
+        outer = int(info.iterations)
+        self.results.update(
+            dofs_u=self.space.n_dofs,
+            dofs_lambda=self.mult_space.n_dofs,
+            outer_its=outer,
+            inner_cg_total=int(inner_total),
+            inner_cg_per_outer=float(inner_total) / max(outer, 1),
+            converged=bool(info.converged),
+            residual=float(info.residual),
+        )
+        return outer
+
+    def errors(self):
+        return (l2_error(self.space, self.u, manufactured_solution),
+                h1_error(self.space, self.u, manufactured_gradient))
+
+    def run(self):
+        cfg = self.cfg
+        for cycle in range(cfg.n_refinement_cycles):
+            self.setup(cycle)
+            self.solve()
+            row = dict(cells=self.grid.n_cells,
+                       dofs_u=self.results["dofs_u"],
+                       dofs_lambda=self.results["dofs_lambda"],
+                       outer_its=self.results["outer_its"],
+                       inner_cg_total=self.results["inner_cg_total"],
+                       h=self.grid.cell_diameter)
+            row["inner_cg/outer"] = round(self.results["inner_cg_per_outer"], 1)
+            if cfg.use_manufactured_solution:
+                l2, h1 = self.errors()
+                row["L2_u"] = l2
+                row["H1_u"] = h1
+            self.table.add_row(**row)
+        if cfg.use_manufactured_solution:
+            self.table.evaluate_rates(["L2_u", "H1_u"])
+        return self.table

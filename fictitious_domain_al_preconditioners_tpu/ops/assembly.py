@@ -211,3 +211,89 @@ def imm_rhs(ispace: ImmersedSpace, fn, order: int | None = None):
     out = np.zeros((ispace.n_dofs, ncomp))
     np.add.at(out, ispace.cell_dofs, be)
     return jnp.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# Vector-valued (Stokes / elasticity) reference local matrices
+# ---------------------------------------------------------------------------
+
+def _grad_products(fe, h, order):
+    """I[c, d, a, b] = ∫_cell ∂_c φ_a ∂_d φ_b dx on the uniform cell."""
+    rule = gauss(fe.dim, order)
+    grad = fe.tabulate_grad(rule.points)  # (nq, nloc, dim) reference grads
+    vol = float(np.prod(h))
+    phys = grad / np.asarray(h)[None, None, :]
+    return np.einsum("qac,qbd,q->cdab", phys, phys, rule.weights) * vol
+
+
+def _value_products(fe, h, order):
+    rule = gauss(fe.dim, order)
+    tab = fe.tabulate(rule.points)
+    vol = float(np.prod(h))
+    return np.einsum("qa,qb,q->ab", tab, tab, rule.weights) * vol
+
+
+def vector_cell_dofs(space: GridSpace, n_comp: int) -> np.ndarray:
+    """(nc, nloc*n_comp) dofs of the component-major flattened vector space
+    (component c of scalar dof i lives at c*n_scalar + i)."""
+    n = space.n_dofs
+    cd = space.cell_dofs
+    return np.concatenate([cd + c * n for c in range(n_comp)], axis=1)
+
+
+def velocity_block_local(fe, h, order, grad_div_coef: float | None) -> np.ndarray:
+    """Local (nloc*dim, nloc*dim) matrix of the Stokes velocity block on the
+    uniform cell (stokes_immersed_boundary.cc:722-744):
+
+      grad_div_coef is not None:  (∇u : ∇v) + γ_gd (div u)(div v)
+      grad_div_coef is None:      2 (ε(u) : ε(v))
+    """
+    dim = fe.dim
+    nloc = fe.n_dofs_per_cell
+    I = _grad_products(fe, h, order)  # (dim, dim, nloc, nloc)
+    lap = np.einsum("ccab->ab", I)
+    out = np.zeros((nloc * dim, nloc * dim))
+    for c in range(dim):
+        for d in range(dim):
+            blk = np.zeros((nloc, nloc))
+            if c == d:
+                blk += lap
+            if grad_div_coef is not None:
+                # gamma_gd * ∫ ∂_c φ_a ∂_d φ_b  (div-div term)
+                blk = blk + grad_div_coef * I[c, d]
+            else:
+                # symgrad: + ∫ ∂_d φ_a ∂_c φ_b
+                blk = blk + I[d, c]
+            out[c * nloc:(c + 1) * nloc, d * nloc:(d + 1) * nloc] = blk
+    return out
+
+
+def elasticity_block_local(fe, h, order, lam: float, mu: float) -> np.ndarray:
+    """Local vector matrix λ(div u, div v) + 2μ(ε(u):ε(v)) — the elasticity
+    cell kernel (ElasticityUtilities::assemble_elasticity, utilities.h:377-427)."""
+    dim = fe.dim
+    nloc = fe.n_dofs_per_cell
+    I = _grad_products(fe, h, order)
+    lap = np.einsum("ccab->ab", I)
+    out = np.zeros((nloc * dim, nloc * dim))
+    for c in range(dim):
+        for d in range(dim):
+            blk = lam * I[c, d] + mu * I[d, c]
+            if c == d:
+                blk = blk + mu * lap
+            out[c * nloc:(c + 1) * nloc, d * nloc:(d + 1) * nloc] = blk
+    return out
+
+
+def divergence_block_local(p_fe, u_fe, h, order) -> np.ndarray:
+    """Local (nloc_p, nloc_u*dim) matrix of B = -(div u, q)
+    (stokes_immersed_boundary.cc:727-739)."""
+    dim = u_fe.dim
+    rule = gauss(dim, order)
+    p_tab = p_fe.tabulate(rule.points)        # (nq, nloc_p)
+    u_grad = u_fe.tabulate_grad(rule.points)  # (nq, nloc_u, dim)
+    vol = float(np.prod(h))
+    phys = u_grad / np.asarray(h)[None, None, :]
+    blocks = [-vol * np.einsum("qa,qb,q->ab", p_tab, phys[:, :, c],
+                               rule.weights) for c in range(dim)]
+    return np.concatenate(blocks, axis=1)

@@ -282,7 +282,8 @@ def _givens_apply(h, cs, sn, j, m):
     return lax.fori_loop(0, m, body, h)
 
 
-def _gmres_core(A, b, M, x0, *, tol, reduction, max_steps, restart, flexible):
+def _gmres_core(A, b, M, x0, *, tol, reduction, max_steps, restart, flexible,
+                m_returns_aux=False):
     n = b.shape[0]
     dtype = b.dtype
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -291,8 +292,16 @@ def _gmres_core(A, b, M, x0, *, tol, reduction, max_steps, restart, flexible):
     thr = _threshold(tol, reduction, res0)
     m = restart
 
+    def apply_M(v):
+        """Preconditioner apply; with ``m_returns_aux`` the preconditioner
+        returns (z, aux_scalar) and aux is accumulated across the solve (the
+        reference's total-inner-CG-iterations metric, nitsche_bcs.cc:652-667)."""
+        if m_returns_aux:
+            return M(v)
+        return M(v), jnp.asarray(0.0, dtype)
+
     def cycle(carry):
-        x, res, tot_it = carry
+        x, res, tot_it, aux_sum = carry
         r = b - A(x)
         beta = _norm(r)
         V = jnp.zeros((m + 1, n), dtype=dtype)
@@ -308,9 +317,10 @@ def _gmres_core(A, b, M, x0, *, tol, reduction, max_steps, restart, flexible):
             return (j < m) & (res > thr) & (tot_it + j < max_steps)
 
         def inner_body(st):
-            j, _, V, Z, R, cs, sn, g = st
+            j, _, V, Z, R, cs, sn, g, aux = st
             vj = V[j]
-            z = M(vj)
+            z, aux_j = apply_M(vj)
+            aux = aux + aux_j
             w = A(z)
             # CGS2 orthogonalization: two masked (m+1, n) matmuls
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
@@ -336,11 +346,12 @@ def _gmres_core(A, b, M, x0, *, tol, reduction, max_steps, restart, flexible):
             g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
             R = R.at[:, j].set(h[:m + 1])
             res = jnp.abs(g[j + 1])
-            return j + 1, res, V, Z, R, cs, sn, g
+            return j + 1, res, V, Z, R, cs, sn, g, aux
 
         j0 = jnp.int32(0)
-        st = (j0, beta, V, Z, R, cs, sn, g)
-        j, res, V, Z, R, cs, sn, g = lax.while_loop(inner_cond, inner_body, st)
+        st = (j0, beta, V, Z, R, cs, sn, g, aux_sum)
+        j, res, V, Z, R, cs, sn, g, aux_sum = lax.while_loop(
+            inner_cond, inner_body, st)
 
         # solve the j x j triangular system (inactive rows/cols -> identity)
         active = jnp.arange(m) < j
@@ -353,25 +364,34 @@ def _gmres_core(A, b, M, x0, *, tol, reduction, max_steps, restart, flexible):
         if flexible:
             x = x + Z.T @ y
         else:
-            x = x + M(V[:m].T @ y)
-        return x, res, tot_it + j
+            z, aux_f = apply_M(V[:m].T @ y)
+            aux_sum = aux_sum + aux_f
+            x = x + z
+        return x, res, tot_it + j, aux_sum
 
     def outer_cond(carry):
-        _, res, tot_it = carry
+        _, res, tot_it, _ = carry
         return (res > thr) & (tot_it < max_steps)
 
-    x, res, tot_it = lax.while_loop(outer_cond, cycle, (x, res0, jnp.int32(0)))
-    return x, SolveInfo(tot_it, res, res0, res <= thr)
+    x, res, tot_it, aux_sum = lax.while_loop(
+        outer_cond, cycle, (x, res0, jnp.int32(0), jnp.asarray(0.0, dtype)))
+    info = SolveInfo(tot_it, res, res0, res <= thr)
+    if m_returns_aux:
+        return x, info, aux_sum
+    return x, info
 
 
 def fgmres(A: Callable, b, M: Callable, x0=None, *, tol: float = 1e-10,
            reduction: float | None = None, max_steps: int = 1000,
-           restart: int = 50):
+           restart: int = 50, m_returns_aux: bool = False):
     """Flexible GMRES, right-preconditioned, restarted (deal.II SolverFGMRES
     with max_basis_size, elliptic_interface.cc:862-865).  ``M`` may be an
-    inner iterative solve — it traces into the loop body."""
+    inner iterative solve — it traces into the loop body.  With
+    ``m_returns_aux`` the preconditioner returns (z, aux) and the summed aux
+    is returned as a third output (inner-iteration accounting)."""
     return _gmres_core(A, b, M, x0, tol=tol, reduction=reduction,
-                       max_steps=max_steps, restart=restart, flexible=True)
+                       max_steps=max_steps, restart=restart, flexible=True,
+                       m_returns_aux=m_returns_aux)
 
 
 def gmres(A: Callable, b, M: Optional[Callable] = None, x0=None, *,

@@ -46,6 +46,14 @@ class Prolongation:
         out = jnp.zeros(self.shape[1], dtype=xf.dtype)
         return out.at[self.cell_dofs].add(self.phi * xf[:, None])
 
+    def mv_multi(self, xc):
+        """(n_coarse, k) -> (n_fine, k)."""
+        return jnp.einsum("fak,fa->fk", xc[self.cell_dofs], self.phi)
+
+    def rmv_multi(self, xf):
+        out = jnp.zeros((self.shape[1], xf.shape[1]), dtype=xf.dtype)
+        return out.at[self.cell_dofs].add(self.phi[:, :, None] * xf[:, None, :])
+
 
 def make_prolongation(fine: GridSpace, coarse: GridSpace) -> Prolongation:
     pts = fine.dof_points
@@ -53,6 +61,31 @@ def make_prolongation(fine: GridSpace, coarse: GridSpace) -> Prolongation:
     phi = coarse.fe.tabulate(refs)
     return Prolongation(jnp.asarray(coarse.cell_dofs[cells]),
                         jnp.asarray(phi), (fine.n_dofs, coarse.n_dofs))
+
+
+@dataclass
+class VectorProlongation:
+    """Componentwise prolongation for component-major vector fields (the
+    Stokes velocity block; 'vector constant modes' analog of the reference's
+    AMG setup, utilities.h:304-317)."""
+
+    scalar: Prolongation
+    n_comp: int
+
+    @property
+    def shape(self):
+        return (self.scalar.shape[0] * self.n_comp,
+                self.scalar.shape[1] * self.n_comp)
+
+    def mv(self, xc):
+        nc = self.scalar.shape[1]
+        cols = xc.reshape(self.n_comp, nc).T
+        return self.scalar.mv_multi(cols).T.reshape(-1)
+
+    def rmv(self, xf):
+        nf = self.scalar.shape[0]
+        cols = xf.reshape(self.n_comp, nf).T
+        return self.scalar.rmv_multi(cols).T.reshape(-1)
 
 
 @dataclass
@@ -107,13 +140,15 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
               n_levels: int | None = None, min_cells: int = 4,
               smoother_degree: int = 4, eig_ratio: float = 30.0,
               n_cycles: int = 1, lanczos_steps: int = 10,
-              dtype=None) -> GMG:
+              n_comp: int = 1, dtype=None) -> GMG:
     """Build a GMG hierarchy.
 
     ``op_factory(space) -> (mv, diag)`` re-discretizes the (augmented)
     operator on a level space: ``mv`` traceable, ``diag`` the assembled
     diagonal *before* constraint masking.  ``free_mask`` is the fine-level
     Dirichlet mask; coarse masks are derived geometrically (same faces).
+    ``n_comp > 1`` builds the vector variant (component-major fields, e.g.
+    the Stokes velocity block).
     """
     spaces = [fine_space]
     while (n_levels is None or len(spaces) < n_levels):
@@ -122,12 +157,14 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
             break
         spaces.append(spaces[-1].coarse_space())
 
-    # which boundary faces are constrained on the fine level?
+    # which boundary faces are constrained on the fine level? (inspect the
+    # first component's scalar slice)
     fine_mask = np.asarray(free_mask)
+    scalar_fine_mask = fine_mask[:fine_space.n_dofs]
     constrained_ids = []
     for bid in range(2 * fine_space.grid.dim):
         bd = fine_space.boundary_dof_mask([bid])
-        if not fine_mask[bd].any():
+        if not scalar_fine_mask[bd].any():
             constrained_ids.append(bid)
 
     levels = []
@@ -137,6 +174,7 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
         else:
             m = ~sp.boundary_dof_mask(constrained_ids) if constrained_ids \
                 else np.ones(sp.n_dofs, dtype=bool)
+            m = np.tile(m, n_comp)
             mask = jnp.asarray(m)
         mv_raw, diag = op_factory(sp)
         dt = dtype or diag.dtype
@@ -147,15 +185,21 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
 
         diag_inv = jnp.where(mask, 1.0 / diag, 1.0)
         lam = lanczos_max_eig(lambda v, mv=mv, di=diag_inv: di * mv(v),
-                              sp.n_dofs, steps=lanczos_steps, dtype=dt)
+                              sp.n_dofs * n_comp, steps=lanczos_steps,
+                              dtype=dt)
         smoother = chebyshev(mv, diag_inv, lam, degree=smoother_degree,
                              eig_ratio=eig_ratio)
-        prolong = make_prolongation(spaces[i - 1], sp) if i > 0 else None
+        if i > 0:
+            prolong = make_prolongation(spaces[i - 1], sp)
+            if n_comp > 1:
+                prolong = VectorProlongation(prolong, n_comp)
+        else:
+            prolong = None
         levels.append(_Level(sp, mv, diag_inv, maskf, smoother, prolong))
 
     # coarse dense factorization
     coarse = levels[-1]
-    nco = coarse.space.n_dofs
+    nco = coarse.space.n_dofs * n_comp
     eye = jnp.eye(nco, dtype=levels[0].mask.dtype)
     dense = jax.vmap(coarse.op, in_axes=1, out_axes=1)(eye)
     lu, piv = jax.scipy.linalg.lu_factor(dense)

@@ -1,0 +1,59 @@
+"""Tests for the (reconstructed) elasticity interface problem."""
+
+import numpy as np
+import pytest
+
+from fictitious_domain_al_preconditioners_tpu.models import (
+    ElasticityInterfaceConfig, ElasticityInterfaceProblem,
+)
+
+
+class TestElasticity:
+    def test_3d_modified_al(self):
+        cfg = ElasticityInterfaceConfig(
+            initial_background_refinement=2,
+            initial_immersed_refinement=1,
+            use_fixed_iterations=True)
+        cfg.outer.tolerance = 1e-9
+        prob = ElasticityInterfaceProblem(cfg)
+        prob.setup()
+        its = prob.solve()
+        assert prob.results["converged"]
+        assert its < 100
+        assert prob.constraint_residual() < 1e-6
+        # displacement should be nonzero and finite
+        u = np.asarray(prob.u)
+        assert np.all(np.isfinite(u))
+        assert np.abs(u).max() > 0
+
+    def test_from_reference_prm(self):
+        import os
+
+        path = "/root/reference/parameters_elliptic_interface/elasticity.prm"
+        if not os.path.exists(path):
+            pytest.skip("reference not mounted")
+        cfg = ElasticityInterfaceConfig.from_prm(path)
+        assert cfg.lambda_background == 2.0
+        assert cfg.lambda_immersed == 20.0
+        assert cfg.mu_immersed == 10.0
+        assert cfg.coupling_quadrature_order == 5
+        assert cfg.use_modified_AL_preconditioner
+        assert cfg.arguments_for_immersed_grid.startswith("-0.65")
+
+    def test_2d_variant(self):
+        # the machinery is dimension-generic; exercise the cheap 2D case
+        cfg = ElasticityInterfaceConfig(
+            dim=2,
+            arguments_for_background_grid="-1.25: 1.25: true",
+            name_of_immersed_grid="hyper_rectangle",
+            arguments_for_immersed_grid="-0.65, -0.3: 0.65, 0.3: false",
+            dirichlet_ids=(0, 1, 2, 3),
+            initial_background_refinement=3,
+            initial_immersed_refinement=2,
+            use_fixed_iterations=True)
+        cfg.outer.tolerance = 1e-9
+        prob = ElasticityInterfaceProblem(cfg)
+        prob.setup()
+        its = prob.solve()
+        assert prob.results["converged"]
+        assert prob.constraint_residual() < 1e-6

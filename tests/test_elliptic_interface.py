@@ -1,0 +1,142 @@
+"""End-to-end tests for the elliptic interface problem (modified + ideal AL)."""
+
+import numpy as np
+import pytest
+
+from fictitious_domain_al_preconditioners_tpu.models import (
+    EllipticInterfaceConfig, EllipticInterfaceProblem,
+)
+
+
+def base_config(**kw) -> EllipticInterfaceConfig:
+    cfg = dict(
+        initial_background_refinement=4,
+        initial_immersed_refinement=2,
+        beta_2=10.0,
+        use_modified_AL_preconditioner=True,
+        gamma_AL_background=10.0,
+        gamma_AL_immersed=1e-2,
+        use_fixed_iterations=True,
+        n_refinement_cycles=2,
+    )
+    cfg.update(kw)
+    return EllipticInterfaceConfig(**cfg)
+
+
+class TestModifiedAL:
+    def test_solves_and_constraint(self):
+        prob = EllipticInterfaceProblem(base_config())
+        prob.setup(0)
+        its = prob.solve()
+        assert prob.results["converged"]
+        assert its < 80
+        assert prob.constraint_residual() < 1e-7
+        assert prob.cct_condition_estimate() > 1.0  # full rank assert inside
+
+    def test_beta_jump_1e3(self):
+        prob = EllipticInterfaceProblem(base_config(beta_2=1e3))
+        prob.setup(0)
+        its = prob.solve()
+        assert prob.results["converged"]
+        assert its < 120
+
+    def test_h_scaled_mass(self):
+        prob = EllipticInterfaceProblem(base_config(use_h_scaled_mass=True))
+        prob.setup(0)
+        its = prob.solve()
+        assert prob.results["converged"]
+
+    def test_diagonal_inverse(self):
+        prob = EllipticInterfaceProblem(base_config(use_diagonal_inverse=True))
+        prob.setup(0)
+        assert prob.solve() < 120
+        assert prob.results["converged"]
+
+    def test_operator_form(self):
+        prob = EllipticInterfaceProblem(base_config(use_operator_form=True))
+        prob.setup(0)
+        its = prob.solve()
+        assert prob.results["converged"]
+
+    def test_iteration_flatness(self):
+        iters = []
+        for cycle in (0, 1):
+            prob = EllipticInterfaceProblem(base_config())
+            prob.setup(cycle)
+            iters.append(prob.solve())
+            assert prob.results["converged"]
+        assert iters[1] <= iters[0] + 12, iters
+
+    def test_sqrt2_rule(self):
+        prob = EllipticInterfaceProblem(base_config(
+            use_sqrt_2_rule=True, n_refinement_cycles=2,
+            initial_background_refinement=3, initial_immersed_refinement=1))
+        prob.run()
+        assert prob.gamma_bg == pytest.approx(10.0 / 2.0 ** (2 / 2))
+
+    def test_parameter_study(self):
+        prob = EllipticInterfaceProblem(base_config(
+            do_parameter_study=True, start_gamma=0.5, end_gamma=10.0,
+            n_steps_gamma=3, initial_background_refinement=3,
+            initial_immersed_refinement=1))
+        best, iters = prob.parameter_study()
+        assert len(iters) == 3
+        assert best in np.linspace(0.5, 10.0, 3)
+
+
+class TestIdealAL:
+    def test_solves(self):
+        prob = EllipticInterfaceProblem(base_config(
+            use_modified_AL_preconditioner=False,
+            gamma_AL_background=10.0, gamma_AL_immersed=10.0,
+            use_fixed_iterations=False))
+        prob.setup(0)
+        its = prob.solve()
+        assert prob.results["converged"]
+        assert its < 30  # ideal AL: very few outer iterations
+        assert prob.constraint_residual() < 1e-7
+
+
+class TestConvergenceStudy:
+    def test_l2_convergence(self):
+        # The exact solution has a C0 kink across the (unfitted) interface:
+        # globally u is only H^{3/2-eps}, so the background-field L2 error
+        # converges at ~O(h) (H1 at ~O(h^{1/2})) — the expected asymptotic for
+        # unfitted-interface FEM; errors must decrease monotonically with a
+        # rate near 1, and outer iterations must stay bounded.
+        prob = EllipticInterfaceProblem(base_config(
+            do_convergence_study=True,
+            initial_background_refinement=3,
+            initial_immersed_refinement=2,
+            n_refinement_cycles=3))
+        table = prob.run()
+        l2 = [row["L2"] for row in table.rows]
+        assert l2[0] > l2[1] > l2[2], l2
+        rate = np.log2(l2[-2] / l2[-1])
+        assert rate > 0.8, (l2, rate)
+        its = [row["outer_iterations"] for row in table.rows]
+        assert max(its) < 60, its
+        assert its[-1] <= its[0] + 10, its
+
+
+class TestPrm:
+    def test_reference_modified_prm(self):
+        import os
+
+        path = "/root/reference/parameters_elliptic_interface/parameters_modified.prm"
+        if not os.path.exists(path):
+            pytest.skip("reference not mounted")
+        cfg = EllipticInterfaceConfig.from_prm(path)
+        assert cfg.use_modified_AL_preconditioner
+
+    def test_reference_top_level_prm(self):
+        import os
+
+        path = "/root/reference/parameters_elliptic_interface.prm"
+        if not os.path.exists(path):
+            pytest.skip("reference not mounted")
+        cfg = EllipticInterfaceConfig.from_prm(path)
+        assert cfg.beta_2 == 1e3
+        assert cfg.gamma_AL_immersed == 1e-2
+        assert cfg.use_fixed_iterations
+        assert cfg.arguments_for_immersed_grid.startswith("-0.14")

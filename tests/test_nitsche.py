@@ -1,0 +1,71 @@
+"""End-to-end tests for the Nitsche boundary-multiplier problem."""
+
+import numpy as np
+import pytest
+
+from fictitious_domain_al_preconditioners_tpu.models import (
+    NitscheConfig, NitscheProblem,
+)
+
+
+class TestNitsche:
+    def test_manufactured_convergence(self):
+        cfg = NitscheConfig(initial_refinement=3, n_refinement_cycles=3,
+                            use_manufactured_solution=True)
+        prob = NitscheProblem(cfg)
+        table = prob.run()
+        l2 = [r["L2_u"] for r in table.rows]
+        rate = np.log2(l2[-2] / l2[-1])
+        assert rate > 1.6, (l2, rate)
+        its = [r["outer_its"] for r in table.rows]
+        assert max(its) < 60, its
+        # h-independence of outer iterations
+        assert its[-1] <= its[0] + 10, its
+
+    def test_constant_dirichlet(self):
+        # u = g = 1 with f = 1: exact solution of -Δu + u = 1 is u = 1
+        cfg = NitscheConfig(initial_refinement=4, rhs=("1", ""),
+                            dirichlet_data=("1", ""))
+        prob = NitscheProblem(cfg)
+        prob.setup()
+        prob.solve()
+        assert prob.results["converged"]
+        np.testing.assert_allclose(np.asarray(prob.u), 1.0, atol=1e-7)
+
+    def test_dg0_multiplier(self):
+        cfg = NitscheConfig(initial_refinement=4, multiplier_degree=0,
+                            use_discontinuous_multiplier=True,
+                            use_manufactured_solution=True)
+        prob = NitscheProblem(cfg)
+        prob.setup()
+        its = prob.solve()
+        assert prob.results["converged"]
+        assert its < 60
+
+    def test_inner_iteration_accounting(self):
+        cfg = NitscheConfig(initial_refinement=4,
+                            use_manufactured_solution=True)
+        prob = NitscheProblem(cfg)
+        prob.setup()
+        outer = prob.solve()
+        assert prob.results["inner_cg_total"] > 0
+        assert prob.results["inner_cg_per_outer"] >= 1.0
+
+    def test_from_reference_prm(self):
+        import os
+
+        path = "/root/reference/parameters_nitsche.prm"
+        if not os.path.exists(path):
+            pytest.skip("reference not mounted")
+        cfg = NitscheConfig.from_prm(path)
+        assert cfg.use_discontinuous_multiplier
+        assert cfg.multiplier_degree == 0
+        assert cfg.n_refinement_cycles == 5
+        assert cfg.dirichlet_data[0].startswith("x^2")
+        # run one (coarse) cycle of it
+        cfg.initial_refinement = 3
+        cfg.n_refinement_cycles = 1
+        prob = NitscheProblem(cfg)
+        prob.setup()
+        prob.solve()
+        assert prob.results["converged"]
