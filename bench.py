@@ -58,6 +58,22 @@ def main():
     dofs = prob.space.n_dofs
     value = dofs * max(iters, 1) / dt / 1e6
 
+    # secondary kernel metric: background stiffness apply bandwidth (the
+    # SpMV GB/s north-star, BASELINE.md)
+    import jax.numpy as jnp
+
+    k_mv = jax.jit(prob._k_apply(prob.space, prob.K))
+    xx = jnp.ones(dofs, jnp.float32)
+    jax.block_until_ready(k_mv(xx))
+    t0 = time.perf_counter()
+    reps = 50
+    for _ in range(reps):
+        xx = k_mv(xx)
+    jax.block_until_ready(xx)
+    spmv_s = (time.perf_counter() - t0) / reps
+    # stencil traffic model: read + write the lattice once (f32)
+    spmv_gbs = 2 * dofs * 4 / spmv_s / 1e9
+
     vs = 1.0
     if os.path.exists(BASELINE_FILE):
         try:
@@ -79,6 +95,8 @@ def main():
             "outer_iterations": iters,
             "solve_seconds": round(dt, 3),
             "converged": bool(info.converged),
+            "constraint_residual": float(prob.constraint_residual()),
+            "stiffness_apply_gbs": round(spmv_gbs, 2),
             "refinement": REFINEMENT,
             "device": str(jax.devices()[0]),
         },

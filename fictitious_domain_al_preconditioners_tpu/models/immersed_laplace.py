@@ -214,10 +214,26 @@ class ImmersedLaplaceProblem:
 
         return K_c, K_inv
 
+    def _k_apply(self, sp, K_cm):
+        """Fast path: Q1 background stiffness applies as separable lattice
+        stencils (parallel.lattice) — near-memory-bound on TPU; higher degrees
+        fall back to the element (gather/einsum/scatter) form."""
+        if sp.fe.degree == 1 and sp.continuous:
+            from ..parallel.lattice import LatticeOps, flat_to_lattice, to_flat
+
+            lat = LatticeOps.for_space(sp)
+            shape = sp.n_points_1d
+
+            def mv(x):
+                return to_flat(lat.laplace(flat_to_lattice(x, shape)))
+
+            return mv
+        return K_cm.mv
+
     def _factory_k(self, sp):
         K = self.K if sp is self.space else laplace_matrix(
             sp, order=self.cfg.embedding_space_degree + 1)
-        return K.mv, K.diag()
+        return self._k_apply(sp, K), K.diag()
 
     def _c_linops(self):
         C_lin = LinOp(self.C.mv, self.C.shape, self.C.rmv, name="C")
@@ -358,16 +374,17 @@ class ImmersedLaplaceProblem:
         cfg = self.cfg
         C_lin, Ct_lin = self._c_linops()
         layout = self.layout
-        K_lin = self.K.as_linop()
+        k_mv = self._k_apply(self.space, self.K)
+        K_lin = LinOp(k_mv, self.K.shape, k_mv)  # symmetric
         free = self.free
 
         if cfg.use_operator_form:
-            # gamma scaled by 1/h_Gamma; AL term = particle mass on Gamma
+            # gamma scaled by 1/h_Gamma; AL term = particle mass on Gamma,
+            # materialized as a compact dense block over the touched dofs
             gamma = cfg.gamma / self.curve.h_max
             Cpart = build_coupling(self.space, self.imm_space,
                                    order=2 * cfg.embedding_space_degree + 1)
-            AL = Cpart.particle_mass_term(gamma)
-            al_diag_fine = Cpart.particle_mass_diag(gamma)
+            AL, al_diag_fine = Cpart.compact_al(gamma)
             inv_w = (inv_diag(self.M) if cfg.use_diagonal_inverse
                      else inv_exact(self.M))
 
@@ -376,36 +393,43 @@ class ImmersedLaplaceProblem:
                     return AL, al_diag_fine
                 Cp = build_coupling(sp, self.imm_space,
                                     order=2 * cfg.embedding_space_degree + 1)
-                return (Cp.particle_mass_term(gamma),
-                        Cp.particle_mass_diag(gamma))
+                return Cp.compact_al(gamma)
         else:
             gamma = cfg.gamma
             w_diag = 1.0 / np.asarray(self.M.diag()) ** 2
             inv_w = (inv_diag_squared(self.M) if cfg.use_diagonal_inverse
                      else inv_squared_exact(self.M))
-            AL = self.C.al_term(inv_w, gamma)
-            al_diag_fine = self.C.al_term_diag(w_diag, gamma)
+            if cfg.use_diagonal_inverse:
+                # W = diag(M)^2 is diagonal: the compact dense AL block is
+                # exact for the outer operator as well
+                AL, al_diag_fine = self.C.compact_al(gamma, w_diag)
+            else:
+                # exact (non-diagonal) W^{-1}: keep the operator form for the
+                # outer system; the GMG below uses the diagonal surrogate
+                # (mirroring the reference, whose AMG is built on the
+                # diag-weighted explicit matrix, immersed_laplace.cc:711-715)
+                AL = self.C.al_term(inv_w, gamma)
+                al_diag_fine = self.C.al_term_diag(w_diag, gamma)
 
             def al_factory(sp):
-                if sp is self.space:
+                if sp is self.space and cfg.use_diagonal_inverse:
                     return AL, al_diag_fine
-                Cl = build_coupling(sp, self.imm_space,
-                                    cfg.coupling_quadrature_order)
-                return (Cl.al_term(inv_w, gamma),
-                        Cl.al_term_diag(w_diag, gamma))
+                Cl = self.C if sp is self.space else build_coupling(
+                    sp, self.imm_space, cfg.coupling_quadrature_order)
+                return Cl.compact_al(gamma, w_diag)
 
-        Aug_raw = K_lin + LinOp(*_unpack(al_factory(self.space),
-                                         self.space.n_dofs))
+        Aug_raw = K_lin + LinOp(*_unpack((AL, None), self.space.n_dofs))
         Aug = constrain(Aug_raw, self.free)
 
         def aug_op_factory(sp):
             K_l = self.K if sp is self.space else laplace_matrix(
                 sp, order=cfg.embedding_space_degree + 1)
+            k_apply = self._k_apply(sp, K_l)
             al_mv, al_diag = al_factory(sp)
             al_apply = al_mv.mv if hasattr(al_mv, "mv") else al_mv
 
             def mv(x):
-                return K_l.mv(x) + al_apply(x)
+                return k_apply(x) + al_apply(x)
 
             return mv, K_l.diag() + al_diag
 

@@ -117,6 +117,52 @@ class Coupling:
         return gamma * out.at[self.bg_dofs].add(self.bg_phi ** 2 *
                                                 self.jxw[:, None])
 
+    def compact_al(self, gamma: float, w_diag=None):
+        """Compact dense form of the AL matrix: the AL term only touches the
+        O(n_Γ) background dofs near the immersed domain, so it is materialized
+        once as a dense (m, m) block over the touched-dof set.  The apply is
+        gather → dense matvec (MXU) → unique sorted scatter — far faster on
+        TPU than a general scatter-add.
+
+        ``w_diag=None`` gives the particle form γ·Σ_q φφᵀ JxW
+        (immersed_laplace.cc:653-705); otherwise γ·Cᵀdiag(w)C (explicit form).
+        Returns (LinOp, diag_vector)."""
+        dofs = np.asarray(self.bg_dofs)
+        phi = np.asarray(self.bg_phi)
+        jxw = np.asarray(self.jxw)
+        uniq, inv = np.unique(dofs.reshape(-1), return_inverse=True)
+        inv = inv.reshape(dofs.shape)  # (nq, nloc) compact indices
+        m = len(uniq)
+        A = np.zeros((m, m))
+        if w_diag is None:
+            # sum_q jxw_q * phi_q phi_q^T
+            contrib = np.einsum("qa,qb,q->qab", phi, phi, jxw)
+            np.add.at(A, (inv[:, :, None], inv[:, None, :]), contrib)
+        else:
+            # C^T diag(w) C over the compact dof set
+            imm_dofs = np.asarray(self.imm_dofs)
+            imm_psi = np.asarray(self.imm_psi)
+            w = np.asarray(w_diag)
+            # C entries: row j (immersed), col i (bg compact): psi_j phi_i jxw
+            n_imm = self.shape[0]
+            C = np.zeros((n_imm, m))
+            np.add.at(C, (imm_dofs[:, :, None],
+                          np.broadcast_to(inv[:, None, :], imm_dofs.shape[:2] + (phi.shape[1],))),
+                      imm_psi[:, :, None] * phi[:, None, :] * jxw[:, None, None])
+            A = C.T @ (w[:, None] * C)
+        Aj = jnp.asarray(gamma * A)
+        uniqj = jnp.asarray(uniq)
+        n = self.shape[1]
+
+        def mv(u):
+            y = Aj.astype(u.dtype) @ u[uniqj]
+            out = jnp.zeros_like(u)
+            return out.at[uniqj].add(y, indices_are_sorted=True,
+                                     unique_indices=True)
+
+        diag = jnp.zeros(n).at[uniqj].set(jnp.diagonal(Aj))
+        return LinOp(mv, (n, n), mv, name="AL_compact"), diag
+
     def al_term_diag(self, w_diag, gamma: float):
         """Diagonal of γ·Cᵀdiag(w)C via deduplicated COO (host-side setup,
         feeds the GMG/Chebyshev smoother of the augmented block)."""

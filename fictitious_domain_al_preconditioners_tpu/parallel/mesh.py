@@ -21,11 +21,14 @@ __all__ = ["make_mesh", "lattice_sharding", "replicated", "sharded_al_cg_step",
 
 
 def padded_shape(shape: tuple, mesh: Mesh) -> tuple:
-    """Round the first two lattice axes up to multiples of the device mesh."""
+    """Round a dof-order lattice shape up so that the (reversed-order)
+    lattice array's first two axes are divisible by the device mesh."""
     sizes = (mesh.shape["x"], mesh.shape["y"])
     out = list(shape)
+    rev = list(reversed(range(len(shape))))
     for i, s in enumerate(sizes[:len(shape)]):
-        out[i] = -(-shape[i] // s) * s
+        ax = rev[i]
+        out[ax] = -(-shape[ax] // s) * s
     return tuple(out)
 
 
@@ -74,7 +77,7 @@ def sharded_al_cg_step(mesh: Mesh, lattice_ops, coupling, gamma: float,
         vals = coupling.interp_bg(flat) * coupling.jxw
         al = jnp.zeros_like(flat).at[coupling.bg_dofs].add(
             coupling.bg_phi * vals[:, None])
-        al_lat = lattice_ops.pad(flat_to_lattice(al, lattice_ops.shape))
+        al_lat = lattice_ops.pad(flat_to_lattice(al, lattice_ops.dof_shape))
         return jax.lax.with_sharding_constraint(ku + gamma * al_lat, shard)
 
     def step(b):

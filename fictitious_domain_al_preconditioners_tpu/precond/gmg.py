@@ -64,6 +64,35 @@ def make_prolongation(fine: GridSpace, coarse: GridSpace) -> Prolongation:
 
 
 @dataclass
+class LatticeProlongation:
+    """Scatter-free Q1 grid transfer on the background lattice
+    (parallel.lattice reshape-interleave kernels); drop-in for
+    :class:`Prolongation` on Q1-continuous hierarchies."""
+
+    fine_shape: tuple    # n_points_1d of the fine space (dof order)
+    coarse_shape: tuple
+    shape: tuple         # (n_fine, n_coarse)
+
+    def mv(self, xc):
+        from ..parallel.lattice import flat_to_lattice, lattice_prolong
+
+        return lattice_prolong(
+            flat_to_lattice(xc, self.coarse_shape)).reshape(-1)
+
+    def rmv(self, xf):
+        from ..parallel.lattice import flat_to_lattice, lattice_restrict
+
+        return lattice_restrict(
+            flat_to_lattice(xf, self.fine_shape)).reshape(-1)
+
+    def mv_multi(self, xc):
+        return jax.vmap(self.mv, in_axes=1, out_axes=1)(xc)
+
+    def rmv_multi(self, xf):
+        return jax.vmap(self.rmv, in_axes=1, out_axes=1)(xf)
+
+
+@dataclass
 class VectorProlongation:
     """Componentwise prolongation for component-major vector fields (the
     Stokes velocity block; 'vector constant modes' analog of the reference's
@@ -190,7 +219,13 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
         smoother = chebyshev(mv, diag_inv, lam, degree=smoother_degree,
                              eig_ratio=eig_ratio)
         if i > 0:
-            prolong = make_prolongation(spaces[i - 1], sp)
+            finer = spaces[i - 1]
+            if sp.fe.degree == 1 and sp.continuous:
+                prolong = LatticeProlongation(
+                    finer.n_points_1d, sp.n_points_1d,
+                    (finer.n_dofs, sp.n_dofs))
+            else:
+                prolong = make_prolongation(finer, sp)
             if n_comp > 1:
                 prolong = VectorProlongation(prolong, n_comp)
         else:

@@ -77,7 +77,7 @@ class TestSharded:
         b = jax.device_put(lat.pad(b_true), shard)
         jitted = jax.jit(step, in_shardings=shard, out_shardings=shard)
         x = jax.block_until_ready(jitted(b))
-        assert x.shape == pshape
+        assert x.shape == tuple(reversed(pshape))  # lattice (reversed) order
         x = lat.unpad(x)
 
         # compare with the single-device element-form result
