@@ -133,12 +133,13 @@ class Coupling:
         uniq, inv = np.unique(dofs.reshape(-1), return_inverse=True)
         inv = inv.reshape(dofs.shape)  # (nq, nloc) compact indices
         m = len(uniq)
-        A = np.zeros((m, m))
         if w_diag is None:
-            # sum_q jxw_q * phi_q phi_q^T
-            contrib = np.einsum("qa,qb,q->qab", phi, phi, jxw)
-            np.add.at(A, (inv[:, :, None], inv[:, None, :]), contrib)
+            # sum_q jxw_q * phi_q phi_q^T (native accumulation when available)
+            from .. import native as _native
+
+            A = _native.accumulate_al(inv, phi, jxw, m)
         else:
+            A = np.zeros((m, m))
             # C^T diag(w) C over the compact dof set
             imm_dofs = np.asarray(self.imm_dofs)
             imm_psi = np.asarray(self.imm_psi)
@@ -215,8 +216,19 @@ def build_coupling(bg_space: GridSpace, imm_space: ImmersedSpace,
     nc, nq_pc, sd = X.shape
     flat_pts = X.reshape(-1, sd)
 
-    cells, refs = bg_space.grid.locate(flat_pts)
-    bg_phi = bg_space.fe.tabulate(refs)               # (nq, nloc_bg)
+    # point location + background tabulation: native C++ setup kernels when
+    # the shared library is available (fictitious_domain_al_preconditioners_tpu.native),
+    # NumPy otherwise — identical results either way
+    from .. import native as _native
+
+    if _native.available() and hasattr(bg_space.fe, "nodes_1d"):
+        grid = bg_space.grid
+        cells, refs = _native.locate_points(flat_pts, np.asarray(grid.origin),
+                                            grid.h, np.asarray(grid.ncells))
+        bg_phi = _native.tabulate(refs, bg_space.fe.nodes_1d, grid.dim)
+    else:
+        cells, refs = bg_space.grid.locate(flat_pts)
+        bg_phi = bg_space.fe.tabulate(refs)           # (nq, nloc_bg)
     bg_dofs = bg_space.cell_dofs[cells]               # (nq, nloc_bg)
 
     psi = imm_space.fe.tabulate(rule.points)          # (nq_pc, nloc_imm)
