@@ -2,15 +2,19 @@
 
 TPU-native re-design of the reference's ``RationalPreconditioner``
 (rational_preconditioner.h:12-99): the multiplier block applies a rational
-approximation of λ^{-1/2} of the pencil (A_Γ, M_Γ),
+approximation of the POSITIVE fractional power (λ/ρ)^{+1/2} of the pencil
+(A_Γ, M_Γ),
 
-    v₁ = d₀·ρ^{-1/2}·M⁻¹u₁ + ρ^{1/2} Σᵢ dᵢ (A_Γ − ρ pᵢ M)⁻¹ u₁ ,
+    v₁ = d₀·M⁻¹u₁ + ρ Σᵢ dᵢ (A_Γ − ρ pᵢ M)⁻¹ u₁ ,   r(x)=d₀+Σdᵢ/(x-pᵢ) ≈ √x,
 
-with ρ an upper spectral bound of M⁻¹A_Γ (immersed_laplace.cc:609-614).
+with ρ an upper spectral bound of M⁻¹A_Γ (immersed_laplace.cc:609-614): the
+Schur complement of the DLM system is an H^{-1/2}(Γ)-norm operator, so its
+preconditioner is the fractional +1/2 power (numerically verified against the
+reference's hardcoded table, which evaluates to √x on [1e-5, 1]).
 
 Two TPU-first changes versus the reference:
   1. The pole/residue table is *computed at setup* by the AAA algorithm
-     (Nakatsukasa-Sète-Trefethen 2018) applied to x^{-1/2} on (0, 1] — the
+     (Nakatsukasa-Sète-Trefethen 2018) applied to √x on (0, 1] — the
      reference hardcodes 21 residues / 20 poles of a fixed BURA table
      (rational_preconditioner.h:70-93); AAA reproduces the same negative-pole
      structure adaptively.
@@ -28,7 +32,7 @@ from ..ops.blocks import BlockLayout
 from ..ops.krylov import batched_cg, cg
 from ..ops.operators import CellMatrix
 
-__all__ = ["aaa", "rational_x_inv_sqrt", "rational_preconditioner"]
+__all__ = ["aaa", "rational_sqrt", "rational_x_inv_sqrt", "rational_preconditioner"]
 
 
 def aaa(F, Z, tol: float = 1e-11, mmax: int = 40):
@@ -91,28 +95,42 @@ def aaa(F, Z, tol: float = 1e-11, mmax: int = 40):
     return poles, residues, d0
 
 
-def rational_x_inv_sqrt(lower: float = 1e-7, n_samples: int = 600,
-                        tol: float = 1e-10, mmax: int = 30):
-    """Poles/residues/constant of r(x) ≈ x^{-1/2} on [lower, 1] (log-spaced
-    samples).  Poles come out on the negative real axis (Stieltjes function),
-    matching the structure of the reference's hardcoded table."""
+def rational_sqrt(lower: float = 1e-5, n_samples: int = 600,
+                  tol: float = 1e-10, mmax: int = 30):
+    """Poles/residues/constant of r(x) ≈ x^{+1/2} on [lower, 1] (log-spaced
+    samples).  Poles come out on the negative real axis, matching the
+    structure of the reference's hardcoded BURA table
+    (rational_preconditioner.h:70-93, which evaluates to √x)."""
     Z = np.geomspace(lower, 1.0, n_samples)
-    F = 1.0 / np.sqrt(Z)
+    F = np.sqrt(Z)
     poles, residues, d0 = aaa(F, Z, tol=tol, mmax=mmax)
+    keep = poles < 0
+    return poles[keep], residues[keep], d0
+
+
+def rational_x_inv_sqrt(lower: float = 1e-7, **kw):
+    """Rational approximation of x^{-1/2} on [lower, 1] (kept for spectral
+    experiments; the preconditioner itself uses :func:`rational_sqrt`)."""
+    Z = np.geomspace(lower, 1.0, kw.pop("n_samples", 600))
+    F = 1.0 / np.sqrt(Z)
+    poles, residues, d0 = aaa(F, Z, tol=kw.pop("tol", 1e-10),
+                              mmax=kw.pop("mmax", 30))
     keep = poles < 0
     return poles[keep], residues[keep], d0
 
 
 def rational_preconditioner(layout: BlockLayout, K_inv, A_imm: CellMatrix,
                             M_imm: CellMatrix, rho_bound: float, *,
-                            lower: float = 1e-7, cg_tol: float = 1e-12,
+                            lower: float = 1e-5, cg_tol: float = 1e-12,
                             cg_max_steps: int = 2000):
     """Assemble the block-diagonal rational preconditioner apply."""
-    poles, residues, d0 = rational_x_inv_sqrt(lower=lower)
+    poles, residues, d0 = rational_sqrt(lower=lower)
     k = len(poles)
     shifts = jnp.asarray(-rho_bound * poles)     # positive shifts -> SPD
-    coeffs = jnp.asarray(residues * np.sqrt(rho_bound))
-    c0 = d0 / np.sqrt(rho_bound)
+    # multiplier block applies r(λ/ρ)·M⁻¹ ≈ (λ/ρ)^{+1/2}·M⁻¹
+    # (rational_preconditioner.h:51: v1 = res0·M⁻¹u + Σ ρ·res_i·(A-ρp_iM)⁻¹u)
+    coeffs = jnp.asarray(residues * rho_bound)
+    c0 = d0
     md_inv = 1.0 / M_imm.diag()
     diag_batch = A_imm.diag()[:, None] + M_imm.diag()[:, None] * shifts[None, :]
     dinv_batch = 1.0 / diag_batch
