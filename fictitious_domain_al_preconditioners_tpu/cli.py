@@ -139,6 +139,16 @@ def main(argv=None):
         print(__doc__)
         return 1
     cmd, prm = argv[0], argv[1]
+    # f64 on CPU matches the reference's double-precision solves; on TPU the
+    # run stays f32 (tolerances below ~1e-7 then act as "iterate to fp32
+    # stagnation or max steps")
+    import jax
+
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+    else:
+        print(f"[fdal] running on {jax.default_backend()} in float32; "
+              "tolerances below ~1e-7 are unreachable in single precision")
     try:
         if cmd == "immersed_laplace":
             run_immersed_laplace(prm)

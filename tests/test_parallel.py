@@ -103,3 +103,21 @@ class TestSharded:
             rz = rz_new
         np.testing.assert_allclose(np.asarray(to_flat(x)), np.asarray(x_ref),
                                    rtol=1e-9, atol=1e-9)
+
+
+class TestFusedStencil:
+    def test_fused_matches_separable(self):
+        from fictitious_domain_al_preconditioners_tpu.ops.pallas_kernels import (
+            laplace_stencil_2d,
+        )
+
+        for g in (UniformGrid.hyper_cube(2, 0.0, 1.0, 4),
+                  UniformGrid(2, (0.0, 0.0), (2.0, 1.0), (8, 4))):
+            sp = GridSpace.q(g, 1)
+            lat = LatticeOps.for_space(sp)
+            sten = laplace_stencil_2d(*lat.h)
+            rng = np.random.default_rng(0)
+            u = jnp.asarray(rng.standard_normal(
+                tuple(reversed(sp.n_points_1d))))
+            np.testing.assert_allclose(np.asarray(sten(u, use_pallas=False)),
+                                       np.asarray(lat.laplace(u)), atol=1e-12)
