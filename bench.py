@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-REFINEMENT = int(os.environ.get("BENCH_REFINEMENT", "9"))
+REFINEMENT = int(os.environ.get("BENCH_REFINEMENT", "10"))
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
 
