@@ -54,6 +54,55 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def sharded_two_level_step(mesh: Mesh, fine_ops, coarse_ops, n_cg: int = 3,
+                           jacobi_diag=None):
+    """A sharded two-level (fine/coarse) V-cycle-preconditioned CG step on the
+    lattice Poisson operator — exercises the full multigrid transfer path
+    (reshape-interleave prolongation/restriction) under XLA SPMD, where the
+    stencil shifts and transfers lower to ICI halo collectives.
+
+    ``fine_ops``/``coarse_ops`` are LatticeOps (coarse = fine grid coarsened
+    once; shapes must satisfy n_f = 2 n_c - 1, i.e. unpadded).  Returns
+    ``step(b_fine_lattice) -> x`` ready to jit with sharded in/out.
+    """
+    from .lattice import lattice_prolong, lattice_restrict
+
+    shard = lattice_sharding(mesh)
+    dinv = jacobi_diag
+
+    def vcycle(r):
+        # damped-Jacobi pre-smooth, coarse correction, post-smooth
+        x = 0.6 * dinv * r
+        rc = lattice_restrict(r - fine_ops.laplace(x))
+        # a few Jacobi sweeps stand in for the coarse solve (dryrun-sized)
+        xc = jnp.zeros_like(rc)
+        for _ in range(10):
+            xc = xc + 0.6 / (4.0 / coarse_ops.h[0]) * (rc - coarse_ops.laplace(xc))
+        x = x + lattice_prolong(xc)
+        x = x + 0.6 * dinv * (r - fine_ops.laplace(x))
+        return x
+
+    def step(b):
+        b = jax.lax.with_sharding_constraint(b, shard)
+        x = jnp.zeros_like(b)
+        r = b
+        z = vcycle(r)
+        p = z
+        rz = jnp.sum(r * z)
+        for _ in range(n_cg):
+            Ap = fine_ops.laplace(p)
+            alpha = rz / jnp.sum(p * Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = vcycle(r)
+            rz_new = jnp.sum(r * z)
+            p = z + (rz_new / rz) * p
+            rz = rz_new
+        return jax.lax.with_sharding_constraint(x, shard)
+
+    return step
+
+
 def sharded_al_cg_step(mesh: Mesh, lattice_ops, coupling, gamma: float,
                        n_cg: int = 5):
     """A jitted, fully-sharded AL inner-solve step:

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Generate tables/results_tpu.md — the headline study: outer iteration counts
+vs DoF (h-independence, the reference's published metric in tables/results.md)
+plus TPU wall-clock, run on the real chip.
+
+Runs in float32 on TPU (outer reduction 1e-6 — single-precision regime; the
+f64 iteration parity at the reference's 1e-10 tolerances is enforced by the
+CPU test suite, tests/test_baseline_tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+
+def laplace_rows(refs):
+    from fictitious_domain_al_preconditioners_tpu.models import (
+        ImmersedLaplaceConfig, ImmersedLaplaceProblem,
+    )
+
+    rows = []
+    for ref in refs:
+        cfg = ImmersedLaplaceConfig(
+            initial_refinement=ref, initial_embedded_refinement=ref,
+            embedded_configuration=("R*cos(2*pi*x)+Cx; R*sin(2*pi*x)+Cy",
+                                    "R=.2, Cx=.4, Cy=.4"),
+            embedding_rhs=("8*pi^2*sin(2*pi*x)*sin(2*pi*y)", ""),
+            embedded_value=("sin(2*pi*x)*sin(2*pi*y)", ""),
+            solver="augmented", use_operator_form=True,
+            use_diagonal_inverse=True)
+        cfg.schur.tolerance = 3e-5
+        cfg.schur.reduction = 1e-6
+        prob = ImmersedLaplaceProblem(cfg)
+        prob.setup()
+        prob.solve()  # compile + run
+        t0 = time.perf_counter()
+        u, lam, info = prob.solve()
+        jax.block_until_ready(u)
+        dt = time.perf_counter() - t0
+        rows.append((prob.space.n_dofs, prob.imm_space.n_dofs,
+                     prob.results["outer_iterations"], dt,
+                     prob.constraint_residual()))
+        print("laplace", rows[-1], flush=True)
+    return rows
+
+
+def elliptic_rows(cycles):
+    from fictitious_domain_al_preconditioners_tpu.models import (
+        EllipticInterfaceConfig, EllipticInterfaceProblem,
+    )
+
+    rows = []
+    for cyc in range(cycles):
+        cfg = EllipticInterfaceConfig(
+            initial_background_refinement=5, initial_immersed_refinement=3,
+            beta_2=1e3, use_modified_AL_preconditioner=True,
+            gamma_AL_background=10.0, gamma_AL_immersed=1e-2,
+            use_fixed_iterations=True)
+        cfg.outer.tolerance = 3e-5
+        cfg.outer.reduction = 1e-5
+        prob = EllipticInterfaceProblem(cfg)
+        prob.setup(cyc)
+        prob.solve()
+        t0 = time.perf_counter()
+        its = prob.solve()
+        dt = time.perf_counter() - t0
+        rows.append((prob.space.n_dofs, prob.fg_space.n_dofs, its, dt,
+                     prob.constraint_residual()))
+        print("elliptic", rows[-1], flush=True)
+    return rows
+
+
+def stokes_rows(refs):
+    from fictitious_domain_al_preconditioners_tpu.models import (
+        StokesConfig, StokesProblem,
+    )
+    from fictitious_domain_al_preconditioners_tpu.models.stokes import ALControl
+
+    rows = []
+    for ref, eref in refs:
+        cfg = StokesConfig(spacedim=2, initial_refinement=ref,
+                           initial_embedded_refinement=eref,
+                           al=ALControl(grad_div_stabilization=True,
+                                        inverse_diag_square=True))
+        cfg.outer.tolerance = 3e-4
+        cfg.outer.reduction = 1e-5
+        prob = StokesProblem(cfg)
+        prob.setup()
+        prob.solve()
+        t0 = time.perf_counter()
+        u, p, lam, info = prob.solve()
+        jax.block_until_ready(u)
+        dt = time.perf_counter() - t0
+        rows.append((prob.results["dofs_background"],
+                     prob.results["dofs_immersed"],
+                     prob.results["outer_iterations"], dt,
+                     prob.constraint_residual()))
+        print("stokes", rows[-1], flush=True)
+    return rows
+
+
+def fmt(rows):
+    out = ["| DoF (background) | DoF (immersed) | outer iterations | solve [s] | constraint residual |",
+           "|---|---|---|---|---|"]
+    for n, m, it, dt, cr in rows:
+        out.append(f"| {n:,} | {m:,} | {it} | {dt:.3f} | {cr:.1e} |")
+    return "\n".join(out)
+
+
+def main():
+    dev = str(jax.devices()[0])
+    parts = [
+        "# TPU results — h-independence of AL-preconditioned outer iterations",
+        "",
+        f"Device: {dev}, float32, outer reduction 1e-6 (Laplace) / 1e-5.",
+        "f64 iteration parity at the reference's tolerances is enforced by the",
+        "CPU test suite (tests/test_baseline_tables.py).  Solve time is the",
+        "cached-executable wall-clock of the full preconditioned solve.",
+        "",
+        "## immersed_laplace, `augmented` (operator form, diag W), circle, smooth data",
+        "",
+        fmt(laplace_rows([7, 8, 9, 10, 11])),
+        "",
+        "## elliptic_interface, modified AL, beta jump 1e3 (3 cycles)",
+        "",
+        fmt(elliptic_rows(3)),
+        "",
+        "## stokes_immersed_boundary 2D, IBStokesAL (grad-div, diag mass)",
+        "",
+        fmt(stokes_rows([(4, 5), (5, 6), (6, 7)])),
+        "",
+    ]
+    os.makedirs("tables", exist_ok=True)
+    with open("tables/results_tpu.md", "w") as fh:
+        fh.write("\n".join(parts))
+    print("wrote tables/results_tpu.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -121,3 +121,31 @@ class TestFusedStencil:
                 tuple(reversed(sp.n_points_1d))))
             np.testing.assert_allclose(np.asarray(sten(u, use_pallas=False)),
                                        np.asarray(lat.laplace(u)), atol=1e-12)
+
+
+class TestShardedTwoLevel:
+    def test_two_level_pcg_matches_unsharded(self):
+        from fictitious_domain_al_preconditioners_tpu.parallel import (
+            make_mesh, sharded_two_level_step,
+        )
+
+        mesh = make_mesh(8)
+        fine_sp = GridSpace.q(UniformGrid.hyper_cube(2, 0.0, 1.0, 5), 1)
+        coarse_sp = fine_sp.coarse_space()
+        fine = LatticeOps.for_space(fine_sp)
+        coarse = LatticeOps.for_space(coarse_sp)
+        dinv = 1.0 / (8.0 / 3.0)  # 1/diag of the interior Q1 laplace stencil
+        step = sharded_two_level_step(mesh, fine, coarse, n_cg=4,
+                                      jacobi_diag=dinv)
+        rng = np.random.default_rng(0)
+        b = jnp.asarray(rng.standard_normal(
+            tuple(reversed(fine_sp.n_points_1d))))
+        x_sharded = jax.block_until_ready(jax.jit(step)(b))
+        # single-device reference: same algorithm on a 1-device mesh
+        mesh1 = make_mesh(1)
+        step1 = sharded_two_level_step(mesh1, fine, coarse, n_cg=4,
+                                       jacobi_diag=dinv)
+        x_single = jax.block_until_ready(jax.jit(step1)(b))
+        np.testing.assert_allclose(np.asarray(x_sharded),
+                                   np.asarray(x_single), rtol=1e-10,
+                                   atol=1e-10)
