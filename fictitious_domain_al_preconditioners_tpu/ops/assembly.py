@@ -80,20 +80,45 @@ def _cell_quad_points(space: GridSpace, order: int):
     return rule, pts, jxw
 
 
+def _cell_quad_points_traced(space: GridSpace, rule):
+    """Quadrature points computed INSIDE jit from iota — no multi-hundred-MB
+    point array baked into the program as a constant (which would have to ship
+    to the compiler and live in HBM)."""
+    import jax
+
+    grid = space.grid
+    nc = grid.n_cells
+    idx = jax.lax.broadcasted_iota(jnp.int32, (nc, 1), 0)[:, 0]
+    mi = []
+    for d in range(grid.dim):
+        mi.append((idx % grid.ncells[d]).astype(jnp.float64
+                  if jax.config.jax_enable_x64 else jnp.float32))
+        idx = idx // grid.ncells[d]
+    origins = jnp.stack(
+        [jnp.asarray(grid.origin[d]) + mi[d] * grid.h[d]
+         for d in range(grid.dim)], axis=-1)  # (nc, dim)
+    return origins[:, None, :] + jnp.asarray(rule.points)[None, :, :] * \
+        jnp.asarray(grid.h)
+
+
 def rhs_vector(space: GridSpace, fn, order: int | None = None):
     """(f, phi_i) load vector for a traceable ``fn(points) -> values``.
 
     Scalar fn -> (ndofs,); vector fn -> (ndofs, ncomp).  Runs as one jitted
-    computation (single device dispatch)."""
+    computation (single device dispatch); quadrature points are generated
+    in-jit (iota), not baked as constants."""
     import jax
 
     order = order or default_order(space)
-    rule, pts, jxw = _cell_quad_points(space, order)
+    rule = gauss(space.grid.dim, order)
+    jxw = rule.weights * float(np.prod(space.grid.h))
     tab = jnp.asarray(space.fe.tabulate(rule.points))  # (nq, nloc)
-    nc, nq, dim = pts.shape
+    nc = space.grid.n_cells
+    nq, dim = rule.points.shape
 
     def build():
-        fv = jnp.asarray(fn(jnp.asarray(pts.reshape(-1, dim))))
+        pts = _cell_quad_points_traced(space, rule)
+        fv = jnp.asarray(fn(pts.reshape(-1, dim)))
         w_tab = tab * jnp.asarray(jxw)[:, None]  # (nq, nloc)
         if fv.ndim == 1:
             be = jnp.einsum("cq,qa->ca", fv.reshape(nc, nq), w_tab)
