@@ -1,0 +1,476 @@
+"""Adaptively refined background grids (local refinement near Γ).
+
+TPU-native replacement for deal.II's flagged local refinement +
+``AffineConstraints`` hanging-node handling (reference: the
+``delta_refinement`` loop immersed_laplace.cc:328-343 and
+stokes_immersed_boundary.cc:468-483 — cells containing Γ support points and
+their face neighbors are refined; deal.II then 2:1-balances the mesh and
+constrains hanging nodes).
+
+Design (TPU-first):
+
+- The mesh is a 2:1-balanced quadtree over the hyper-cube background domain:
+  a flat array of leaves ``(level, ij)``.  All topology queries (neighbor
+  lookup, point location) are vectorized integer arithmetic on encoded keys —
+  no rtree, no pointer tree.
+- Hanging-node constraints are resolved transitively at setup and **folded
+  into the element dof lists**: every leaf carries padded free-dof indices
+  plus a fold matrix ``W_c`` with ``u_local = W_c @ u_free`` — the exact
+  analog of ``AffineConstraints::distribute_local_to_global``.  Folded
+  element matrices ``W_cᵀ L_c W_c`` make every downstream consumer
+  (element-form operators, the coupling quad-point table, multigrid
+  prolongation) oblivious to constraints: solvers run in the conforming
+  free-dof space, which keeps operators SPD.
+- Coarser multigrid levels are the same quadtree truncated one level
+  (clamping preserves 2:1 balance), down to the uniform base grid — so the
+  GMG hierarchy that replaces ML-AMG extends to locally refined meshes.
+
+2D (quadtree) only: the reference exercises ``delta_refinement`` on 2D
+backgrounds; 3D (octree face+edge constraints) falls back to global
+refinement (see models.stokes docstring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+import numpy as np
+
+from .fe import FE, lagrange_values_1d
+
+__all__ = ["AdaptiveGrid", "AdaptiveSpace"]
+
+_LEVEL_CAP = 30
+
+
+def _bits(dim: int) -> int:
+    return 56 // dim
+
+
+def _encode(dim: int, levels, ij) -> np.ndarray:
+    b = _bits(dim)
+    key = np.asarray(levels, dtype=np.int64)
+    for d in range(dim):
+        key = (key << b) | np.asarray(ij[..., d], dtype=np.int64)
+    return key
+
+
+@dataclass(frozen=True)
+class AdaptiveGrid:
+    """A 2:1-balanced quadtree of leaf cells over ``[origin, origin+extent]``.
+
+    Level-``l`` cells tile the domain ``2^l`` per dimension; ``ij`` is the
+    integer multi-index of each leaf at its own level.
+    """
+
+    dim: int
+    origin: tuple
+    extent: tuple
+    levels: np.ndarray  # (nc,) int32
+    ij: np.ndarray      # (nc, dim) int64
+
+    @classmethod
+    def uniform(cls, dim: int, level: int, origin=None, extent=None
+                ) -> "AdaptiveGrid":
+        origin = tuple(origin) if origin is not None else (0.0,) * dim
+        extent = tuple(extent) if extent is not None else (1.0,) * dim
+        n = 1 << level
+        idx = np.arange(n ** dim)
+        ij = np.empty((n ** dim, dim), dtype=np.int64)
+        for d in range(dim):
+            ij[:, d] = idx % n
+            idx //= n
+        return cls(dim, origin, extent,
+                   np.full(n ** dim, level, dtype=np.int32), ij)
+
+    # -- basic queries --------------------------------------------------------
+
+    @property
+    def n_cells(self) -> int:
+        return len(self.levels)
+
+    @property
+    def max_level(self) -> int:
+        return int(self.levels.max())
+
+    @property
+    def min_level(self) -> int:
+        return int(self.levels.min())
+
+    def h_of_level(self, level) -> np.ndarray:
+        """Cell size at a level: (dim,) or (n, dim) for an array of levels."""
+        ext = np.asarray(self.extent)
+        lv = np.asarray(level)
+        return ext / (1 << lv)[..., None] if lv.ndim else ext / (1 << int(lv))
+
+    @property
+    def cell_h(self) -> np.ndarray:
+        """(nc, dim) per-leaf cell size."""
+        return self.h_of_level(self.levels)
+
+    @property
+    def h_min(self) -> float:
+        return float((np.asarray(self.extent) / (1 << self.max_level)).min())
+
+    @property
+    def min_cell_diameter(self) -> float:
+        """GridTools::minimal_cell_diameter (immersed_laplace.cc:355)."""
+        return float(np.linalg.norm(
+            np.asarray(self.extent) / (1 << self.max_level)))
+
+    def cell_origins(self) -> np.ndarray:
+        return np.asarray(self.origin) + self.ij * self.cell_h
+
+    @cached_property
+    def _sorted_keys(self):
+        keys = _encode(self.dim, self.levels, self.ij)
+        order = np.argsort(keys)
+        return keys[order], order
+
+    # -- leaf lookup ----------------------------------------------------------
+
+    def find_leaf(self, levels_q, ij_q):
+        """Leaf covering each query cell ``(level, ij)`` (query level >= leaf
+        level).  Vectorized ancestor walk-up -> (leaf_index, leaf_level);
+        index -1 where no leaf covers the query (outside refinement tree)."""
+        levels_q = np.asarray(levels_q, dtype=np.int64)
+        ij_q = np.asarray(ij_q, dtype=np.int64)
+        if levels_q.ndim == 0:
+            levels_q = np.broadcast_to(levels_q, (ij_q.shape[0],))
+        skeys, order = self._sorted_keys
+        out_idx = np.full(len(ij_q), -1, dtype=np.int64)
+        out_lvl = np.full(len(ij_q), -1, dtype=np.int64)
+        pending = np.arange(len(ij_q))
+        for shift in range(self.max_level + 1):
+            if len(pending) == 0:
+                break
+            lev = levels_q[pending] - shift
+            ok = lev >= 0
+            pend_ok = pending[ok]
+            if len(pend_ok) == 0:
+                break
+            cand = _encode(self.dim, lev[ok], ij_q[pend_ok] >> shift)
+            pos = np.searchsorted(skeys, cand)
+            hit = (pos < len(skeys)) & (skeys[np.minimum(pos, len(skeys) - 1)]
+                                        == cand)
+            hits = pend_ok[hit]
+            out_idx[hits] = order[pos[hit]]
+            out_lvl[hits] = levels_q[hits] - shift
+            pending = pend_ok[~hit]
+        return out_idx, out_lvl
+
+    def locate(self, points: np.ndarray):
+        """Physical points -> (leaf index (n,), ref coords (n, dim)).
+
+        O(1) fine-lattice index arithmetic + vectorized ancestor walk-up —
+        the adaptive-mesh analog of GridTools::compute_point_locations."""
+        points = np.atleast_2d(np.asarray(points, dtype=float))
+        L = self.max_level
+        hf = np.asarray(self.extent) / (1 << L)
+        rel = (points - np.asarray(self.origin)) / hf
+        fine = np.clip(np.floor(rel).astype(np.int64), 0, (1 << L) - 1)
+        idx, lvl = self.find_leaf(np.full(len(points), L), fine)
+        assert (idx >= 0).all(), "point outside the leaf cover"
+        h = self.h_of_level(self.levels[idx])
+        org = np.asarray(self.origin) + self.ij[idx] * h
+        ref = np.clip((points - org) / h, 0.0, 1.0)
+        return idx, ref
+
+    # -- refinement -----------------------------------------------------------
+
+    def refine(self, flags: np.ndarray) -> "AdaptiveGrid":
+        """Replace flagged leaves by their 2^dim children, then restore 2:1
+        balance (deal.II execute_coarsening_and_refinement semantics)."""
+        g = self._split(flags)
+        return g._balance()
+
+    def _split(self, flags: np.ndarray) -> "AdaptiveGrid":
+        flags = np.asarray(flags, dtype=bool)
+        if not flags.any():
+            return self
+        assert self.levels[flags].max() < _LEVEL_CAP
+        keep_l, keep_ij = self.levels[~flags], self.ij[~flags]
+        pl, pij = self.levels[flags], self.ij[flags]
+        offs = np.empty((1 << self.dim, self.dim), dtype=np.int64)
+        idx = np.arange(1 << self.dim)
+        for d in range(self.dim):
+            offs[:, d] = (idx >> d) & 1
+        ch_ij = (pij[:, None, :] * 2 + offs[None, :, :]).reshape(-1, self.dim)
+        ch_l = np.repeat(pl + 1, 1 << self.dim).astype(np.int32)
+        return AdaptiveGrid(self.dim, self.origin, self.extent,
+                            np.concatenate([keep_l, ch_l]),
+                            np.concatenate([keep_ij, ch_ij]))
+
+    def _balance(self) -> "AdaptiveGrid":
+        g = self
+        while True:
+            flags = np.zeros(g.n_cells, dtype=bool)
+            for l in range(g.max_level, 1, -1):
+                sel = np.flatnonzero(g.levels == l)
+                if len(sel) == 0:
+                    continue
+                for d in range(g.dim):
+                    for step in (-1, 1):
+                        nij = g.ij[sel].copy()
+                        nij[:, d] += step
+                        inside = (nij[:, d] >= 0) & (nij[:, d] < (1 << l))
+                        idx, lvl = g.find_leaf(l, nij[inside])
+                        bad = (idx >= 0) & (lvl < l - 1)
+                        flags[idx[bad]] = True
+            if not flags.any():
+                return g
+            g = g._split(flags)
+
+    def refine_near(self, points: np.ndarray) -> "AdaptiveGrid":
+        """One delta-refinement step: flag leaves containing the points plus
+        their face neighbors, refine, re-balance
+        (immersed_laplace.cc:332-343)."""
+        idx, _ = self.locate(points)
+        flags = np.zeros(self.n_cells, dtype=bool)
+        flags[idx] = True
+        hit = np.unique(idx)
+        lv, ij = self.levels[hit].astype(np.int64), self.ij[hit]
+        for d in range(self.dim):
+            for step in (-1, 1):
+                nij = ij.copy()
+                nij[:, d] += step
+                inside = (nij[:, d] >= 0) & (nij[:, d] < (1 << lv))
+                nidx, _ = self.find_leaf(lv[inside], nij[inside])
+                flags[nidx[nidx >= 0]] = True
+        return self.refine(flags)
+
+    # -- coarsening (multigrid hierarchy) --------------------------------------
+
+    def coarsen(self) -> "AdaptiveGrid":
+        """Clamp the deepest level by one (merge its sibling groups).  A
+        clamped 2:1-balanced tree stays balanced — this generates the GMG
+        level hierarchy."""
+        L = self.max_level
+        assert L > 0
+        deep = self.levels == L
+        parents = np.unique(_encode(self.dim, np.full(int(deep.sum()), L - 1),
+                                    self.ij[deep] >> 1))
+        b = _bits(self.dim)
+        pij = np.empty((len(parents), self.dim), dtype=np.int64)
+        rest = parents
+        for d in range(self.dim - 1, -1, -1):
+            pij[:, d] = rest & ((1 << b) - 1)
+            rest >>= b
+        return AdaptiveGrid(
+            self.dim, self.origin, self.extent,
+            np.concatenate([self.levels[~deep],
+                            np.full(len(parents), L - 1, dtype=np.int32)]),
+            np.concatenate([self.ij[~deep], pij]))
+
+
+class AdaptiveSpace:
+    """Continuous Q_k space on an :class:`AdaptiveGrid`, hanging nodes
+    eliminated.  Exposes the same duck-typed surface the solvers consume from
+    :class:`~..core.grid.GridSpace`: ``n_dofs`` (free dofs only),
+    ``cell_dofs`` (padded free-dof indices), ``fe``, ``dof_points``,
+    ``boundary_dof_mask``, ``coarse_space`` — plus ``fold_w`` (the per-cell
+    constraint fold) and ``tabulate_at`` (folded basis evaluation at arbitrary
+    points, used by the coupling kernel and multigrid prolongation)."""
+
+    def __init__(self, grid: AdaptiveGrid, degree: int):
+        assert grid.dim == 2, "adaptive refinement: 2D (quadtree) only"
+        self.grid = grid
+        self.fe = FE(grid.dim, degree, True)
+        self._setup_nodes()
+        self._setup_constraints()
+        self._setup_fold()
+
+    continuous = True
+
+    # -- node enumeration -----------------------------------------------------
+
+    def _setup_nodes(self):
+        g, fe = self.grid, self.fe
+        h = g.cell_h  # (nc, dim)
+        org = g.cell_origins()
+        frac = fe.nodes_1d[fe.node_multi_indices]        # (nloc, dim)
+        pos = org[:, None, :] + frac[None, :, :] * h[:, None, :]
+        self._tol = g.h_min * 1e-7
+        flat = pos.reshape(-1, g.dim)
+        q = np.round(flat / self._tol).astype(np.int64)
+        uq, index, inverse = np.unique(q, axis=0, return_index=True,
+                                       return_inverse=True)
+        self._node_pos = flat[index]                      # (N, dim)
+        self._cell_nodes = inverse.reshape(
+            g.n_cells, fe.n_dofs_per_cell).astype(np.int64)
+
+    # -- hanging-node constraints ----------------------------------------------
+
+    def _setup_constraints(self):
+        g, fe = self.grid, self.fe
+        k = fe.degree
+        mi = fe.node_multi_indices                        # (nloc, dim)
+        constraints: dict[int, list] = {}
+
+        for d in range(g.dim):
+            t = 1 - d  # the single tangential dimension (2D)
+            # local node orderings of the two faces, sorted along the tangent
+            for side in (0, 1):
+                face_loc = np.flatnonzero(mi[:, d] == (k if side else 0))
+                face_loc = face_loc[np.argsort(mi[face_loc, t])]
+                opp_loc = np.flatnonzero(mi[:, d] == (0 if side else k))
+                opp_loc = opp_loc[np.argsort(mi[opp_loc, t])]
+                # leaves whose (d, side) face neighbor is coarser
+                lv = g.levels.astype(np.int64)
+                nij = g.ij.copy()
+                nij[:, d] += 1 if side else -1
+                inside = (nij[:, d] >= 0) & (nij[:, d] < (1 << lv))
+                cand = np.flatnonzero(inside)
+                nidx, nlvl = g.find_leaf(lv[cand], nij[cand])
+                coarse = (nidx >= 0) & (nlvl == lv[cand] - 1)
+                for c, nb in zip(cand[coarse], nidx[coarse]):
+                    slaves = self._cell_nodes[c][face_loc]
+                    masters = self._cell_nodes[nb][opp_loc]
+                    # tangential position of each slave node on the coarse
+                    # edge, in the coarse cell's reference coords
+                    ht = g.h_of_level(int(g.levels[nb]))[t]
+                    o_t = g.origin[t] + g.ij[nb][t] * ht
+                    tt = (self._node_pos[slaves][:, t] - o_t) / ht
+                    wts = lagrange_values_1d(fe.nodes_1d, tt)  # (k+1, k+1)
+                    for s_id, w in zip(slaves, wts):
+                        # coincident with a coarse node -> same dof (merged
+                        # by the node dedup), not hanging
+                        if np.max(np.abs(w - (np.abs(w) > 0.5))) < 1e-12 and \
+                                np.count_nonzero(np.abs(w) > 0.5) == 1:
+                            continue
+                        if s_id not in constraints:
+                            constraints[s_id] = [
+                                (int(m), float(ww))
+                                for m, ww in zip(masters, w)
+                                if abs(ww) > 1e-14]
+
+        # transitive resolution (constraint chains occur on 2:1 meshes when a
+        # master vertex is itself mid-edge of a yet-coarser neighbor —
+        # AffineConstraints::close() does the same)
+        for _ in range(g.max_level + 2):
+            dirty = False
+            for s, terms in list(constraints.items()):
+                if any(m in constraints for m, _ in terms):
+                    new = {}
+                    for m, w in terms:
+                        if m in constraints:
+                            for m2, w2 in constraints[m]:
+                                new[m2] = new.get(m2, 0.0) + w * w2
+                        else:
+                            new[m] = new.get(m, 0.0) + w
+                    constraints[s] = [(m, w) for m, w in new.items()
+                                      if abs(w) > 1e-14]
+                    dirty = True
+            if not dirty:
+                break
+        else:  # pragma: no cover
+            raise RuntimeError("hanging-node constraint chain did not resolve")
+
+        self._constraints = constraints
+        n_nodes = len(self._node_pos)
+        is_slave = np.zeros(n_nodes, dtype=bool)
+        if constraints:
+            is_slave[np.fromiter(constraints, dtype=np.int64)] = True
+        self._free_of_node = np.cumsum(~is_slave) - 1
+        self._free_of_node[is_slave] = -1
+        self._is_slave = is_slave
+        self.n_dofs = int((~is_slave).sum())
+        self.dof_points = self._node_pos[~is_slave]
+
+    # -- constraint fold --------------------------------------------------------
+
+    def _setup_fold(self):
+        """Per-cell padded free dofs + fold matrices: u_local = W_c u_free."""
+        g, fe = self.grid, self.fe
+        nloc = fe.n_dofs_per_cell
+        cn = self._cell_nodes
+        cell_has_slave = self._is_slave[cn].any(axis=1)
+        plain = np.flatnonzero(~cell_has_slave)
+        constr = np.flatnonzero(cell_has_slave)
+
+        rows = []  # (dofs (K_c,), W (nloc, K_c)) per constrained cell
+        kmax = nloc
+        for c in constr:
+            terms: dict[int, np.ndarray] = {}
+            for a, node in enumerate(cn[c]):
+                if self._is_slave[node]:
+                    for m, w in self._constraints[node]:
+                        fi = int(self._free_of_node[m])
+                        terms.setdefault(fi, np.zeros(nloc))[a] += w
+                else:
+                    fi = int(self._free_of_node[node])
+                    terms.setdefault(fi, np.zeros(nloc))[a] += 1.0
+            dofs = np.fromiter(terms, dtype=np.int64)
+            W = np.stack([terms[int(dd)] for dd in dofs], axis=1)  # (nloc, Kc)
+            rows.append((dofs, W))
+            kmax = max(kmax, len(dofs))
+
+        K = kmax
+        nc = g.n_cells
+        cell_dofs = np.zeros((nc, K), dtype=np.int32)
+        fold_w = np.zeros((nc, nloc, K))
+        cell_dofs[plain, :nloc] = self._free_of_node[cn[plain]]
+        fold_w[plain, :, :nloc] = np.eye(nloc)
+        for c, (dofs, W) in zip(constr, rows):
+            cell_dofs[c, :len(dofs)] = dofs
+            fold_w[c, :, :len(dofs)] = W
+        self.cell_dofs = cell_dofs
+        self.fold_w = fold_w
+        self.n_constrained_cells = len(constr)
+
+    # -- duck-typed GridSpace surface -------------------------------------------
+
+    def boundary_dof_mask(self, boundary_ids=None) -> np.ndarray:
+        """Free dofs on the listed outer-boundary faces (deal.II colorize
+        ids: 2d = min face of dim d, 2d+1 = max face)."""
+        if boundary_ids is None:
+            boundary_ids = list(range(2 * self.grid.dim))
+        pts = self.dof_points
+        tol = self._tol
+        o = np.asarray(self.grid.origin)
+        e = np.asarray(self.grid.extent)
+        mask = np.zeros(self.n_dofs, dtype=bool)
+        for bid in boundary_ids:
+            d, side = bid // 2, bid % 2
+            if d >= self.grid.dim:
+                continue
+            target = o[d] + (e[d] if side else 0.0)
+            mask |= np.abs(pts[:, d] - target) < tol
+        return mask
+
+    def tabulate_at(self, points: np.ndarray):
+        """Folded basis evaluation at physical points ->
+        (padded free dofs (n, K), folded values (n, K)).
+
+        This is the single entry point both the non-matching coupling kernel
+        and multigrid prolongation use (NonMatching::create_coupling_* with
+        constraints, and MGTransfer, rolled into one)."""
+        cells, refs = self.grid.locate(points)
+        phi = self.fe.tabulate(refs)                      # (n, nloc)
+        dofs = self.cell_dofs[cells]                      # (n, K)
+        vals = np.einsum("na,naK->nK", phi, self.fold_w[cells])
+        return dofs, vals
+
+    def expand(self, u_free: np.ndarray) -> np.ndarray:
+        """Free-dof vector -> values at ALL nodes (hanging nodes interpolated
+        — AffineConstraints::distribute)."""
+        u_free = np.asarray(u_free)
+        out = np.zeros(len(self._node_pos), dtype=u_free.dtype)
+        out[~self._is_slave] = u_free
+        for s, terms in self._constraints.items():
+            out[s] = sum(w * u_free[self._free_of_node[m]] for m, w in terms)
+        return out
+
+    def node_values_per_cell(self, u_free):
+        """(nc, nloc) local node values from free dofs (traceable)."""
+        import jax.numpy as jnp
+
+        ue = u_free[jnp.asarray(self.cell_dofs)]          # (nc, K)
+        return jnp.einsum("caK,cK->ca", jnp.asarray(self.fold_w), ue)
+
+    def can_coarsen(self, min_cells: int = 4) -> bool:
+        return (1 << (self.grid.max_level - 1)) >= min_cells
+
+    def coarse_space(self) -> "AdaptiveSpace":
+        return AdaptiveSpace(self.grid.coarsen(), self.fe.degree)

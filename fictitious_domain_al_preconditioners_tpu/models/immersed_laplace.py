@@ -16,13 +16,13 @@ Solver modes (immersed_laplace.cc:502-951):
                      block (636-944) — the paper's method
 
 Design deviations (TPU-first):
-  - UMFPACK/AMG are replaced by geometric multigrid on the uniform background
-    grid + tightly-converged CG (see precond.gmg).
-  - ``Local refinements steps near embedded domain`` (delta_refinement) is
-    realized as *global* refinement of the uniform background grid (same
-    resolution at Γ; uniform grids keep point location O(1) and GMG exact) —
-    DoF counts at equal near-Γ resolution are larger than the reference's
-    locally-refined meshes.
+  - UMFPACK/AMG are replaced by geometric multigrid on the background grid +
+    tightly-converged CG (see precond.gmg).
+  - ``Local refinements steps near embedded domain`` (delta_refinement > 0)
+    builds a 2:1-balanced quadtree locally refined around the Γ support
+    points (cells + face neighbors per step, immersed_laplace.cc:332-343)
+    with hanging-node constraints folded into the element dof maps
+    (core.adaptive); GMG coarsens by truncating the quadtree.
 """
 
 from __future__ import annotations
@@ -143,11 +143,6 @@ class ImmersedLaplaceProblem:
     def setup(self):
         cfg = self.cfg
         with self.timer.scope("Setup grids and dofs"):
-            # background: unit square, colorized ids (hyper_cube(0,1,true))
-            self.grid = UniformGrid.hyper_cube(
-                2, 0.0, 1.0, cfg.initial_refinement + cfg.delta_refinement)
-            self.space = GridSpace.q(self.grid, cfg.embedding_space_degree)
-
             conf = ParsedFunction(*cfg.embedded_configuration)
             if cfg.use_displacement:
                 # MappingQEulerian: configuration = identity + displacement
@@ -168,13 +163,34 @@ class ImmersedLaplaceProblem:
             else:
                 self.imm_space = self.curve.space(0, continuous=False)
 
+            # background: unit square, colorized ids (hyper_cube(0,1,true));
+            # delta_refinement steps locally refine the cells containing the
+            # Γ support points + their face neighbors, exactly the reference
+            # loop (immersed_laplace.cc:328-343)
+            if cfg.delta_refinement > 0:
+                from ..core.adaptive import AdaptiveGrid, AdaptiveSpace
+
+                agrid = AdaptiveGrid.uniform(2, cfg.initial_refinement)
+                support = self.imm_space.dof_points
+                for _ in range(cfg.delta_refinement):
+                    agrid = agrid.refine_near(support)
+                self.grid = agrid
+                self.space = AdaptiveSpace(agrid, cfg.embedding_space_degree)
+                h_omega_min = agrid.min_cell_diameter
+            else:
+                self.grid = UniformGrid.hyper_cube(
+                    2, 0.0, 1.0, cfg.initial_refinement)
+                self.space = GridSpace.q(self.grid,
+                                         cfg.embedding_space_degree)
+                h_omega_min = self.grid.cell_diameter
+
             # mesh-compatibility guard (immersed_laplace.cc:364-369)
-            if self.curve.h_max >= self.grid.cell_diameter:
+            if self.curve.h_max >= h_omega_min:
                 raise ValueError(
                     "The embedding grid is too refined (or the embedded grid "
                     "is too coarse): "
                     f"h_Gamma={self.curve.h_max:.3e} >= "
-                    f"h_Omega={self.grid.cell_diameter:.3e}")
+                    f"h_Omega={h_omega_min:.3e}")
 
         with self.timer.scope("Assemble system"):
             deg = cfg.embedding_space_degree
@@ -218,7 +234,7 @@ class ImmersedLaplaceProblem:
         """Fast path: Q1 background stiffness applies as separable lattice
         stencils (parallel.lattice) — near-memory-bound on TPU; higher degrees
         fall back to the element (gather/einsum/scatter) form."""
-        if sp.fe.degree == 1 and sp.continuous:
+        if sp.fe.degree == 1 and sp.continuous and hasattr(sp, "n_points_1d"):
             from ..parallel.lattice import LatticeOps, flat_to_lattice, to_flat
 
             lat = LatticeOps.for_space(sp)

@@ -196,7 +196,12 @@ class StokesProblem:
         cfg = self.cfg
         sd = cfg.spacedim
         with self.timer.scope("Setup grids and dofs"):
-            # background unit cube, colorized (stokes_immersed_boundary.cc:417)
+            # background unit cube, colorized (stokes_immersed_boundary.cc:417).
+            # delta_refinement is realized as global refinement here (same
+            # near-Γ resolution); the quadtree local-refinement path
+            # (core.adaptive, used by immersed_laplace) covers scalar 2D
+            # spaces — extending it to the vector Taylor-Hood pair is tracked
+            # as future work.
             self.grid = UniformGrid.hyper_cube(
                 sd, 0.0, 1.0, cfg.initial_refinement + cfg.delta_refinement)
             if sd == 2:

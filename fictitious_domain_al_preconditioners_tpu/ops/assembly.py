@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.adaptive import AdaptiveSpace
 from ..core.fe import FE
 from ..core.grid import GridSpace
 from ..core.immersed import ImmersedSpace
@@ -55,6 +56,8 @@ def _ref_laplace_local(fe, h, order) -> np.ndarray:
 
 def mass_matrix(space: GridSpace, order: int | None = None, coef=None) -> CellMatrix:
     order = order or default_order(space)
+    if isinstance(space, AdaptiveSpace):
+        return _adaptive_cell_matrix(space, _ref_mass_local, order, coef)
     local = _ref_mass_local(space.fe, space.grid.h, order)
     return CellMatrix(space.cell_dofs, space.cell_dofs, local,
                       (space.n_dofs, space.n_dofs), coef)
@@ -64,8 +67,24 @@ def laplace_matrix(space: GridSpace, order: int | None = None, coef=None) -> Cel
     """Stiffness (grad u, grad v); ``coef`` is an optional per-cell constant
     (the elliptic-interface beta field, elliptic_interface.cc:638-675)."""
     order = order or default_order(space)
+    if isinstance(space, AdaptiveSpace):
+        return _adaptive_cell_matrix(space, _ref_laplace_local, order, coef)
     local = _ref_laplace_local(space.fe, space.grid.h, order)
     return CellMatrix(space.cell_dofs, space.cell_dofs, local,
+                      (space.n_dofs, space.n_dofs), coef)
+
+
+def _adaptive_cell_matrix(space: AdaptiveSpace, ref_local_fn, order: int,
+                          coef=None) -> CellMatrix:
+    """Element-form operator on an adaptive grid: per-level reference local
+    matrices, hanging-node constraints folded in (W_cᵀ L_level W_c) — the
+    assembled operator acts directly on free dofs."""
+    g = space.grid
+    per_level = {int(l): ref_local_fn(space.fe, g.h_of_level(int(l)), order)
+                 for l in np.unique(g.levels)}
+    L = np.stack([per_level[int(l)] for l in g.levels])   # (nc, nloc, nloc)
+    folded = np.einsum("caK,cab,cbM->cKM", space.fold_w, L, space.fold_w)
+    return CellMatrix(space.cell_dofs, space.cell_dofs, folded,
                       (space.n_dofs, space.n_dofs), coef)
 
 
@@ -110,6 +129,8 @@ def rhs_vector(space: GridSpace, fn, order: int | None = None):
     import jax
 
     order = order or default_order(space)
+    if isinstance(space, AdaptiveSpace):
+        return _adaptive_rhs(space, fn, order)
     rule = gauss(space.grid.dim, order)
     jxw = rule.weights * float(np.prod(space.grid.h))
     tab = jnp.asarray(space.fe.tabulate(rule.points))  # (nq, nloc)
@@ -132,6 +153,29 @@ def rhs_vector(space: GridSpace, fn, order: int | None = None):
     return jax.jit(build)()
 
 
+def _adaptive_quad(space: AdaptiveSpace, order: int):
+    """(rule, physical points (nc, nq, dim), jxw (nc, nq)) on an adaptive grid
+    — host-side NumPy (adaptive meshes are the moderate-size near-Γ bands)."""
+    g = space.grid
+    rule = gauss(g.dim, order)
+    h = g.cell_h                                            # (nc, dim)
+    pts = g.cell_origins()[:, None, :] + rule.points[None, :, :] * h[:, None, :]
+    jxw = rule.weights[None, :] * np.prod(h, axis=1)[:, None]
+    return rule, pts, jxw
+
+
+def _adaptive_rhs(space: AdaptiveSpace, fn, order: int):
+    rule, pts, jxw = _adaptive_quad(space, order)
+    tab = space.fe.tabulate(rule.points)                    # (nq, nloc)
+    nc, nq, dim = pts.shape
+    fv = np.asarray(fn(pts.reshape(-1, dim))).reshape(nc, nq)
+    be = np.einsum("cq,qa,cq->ca", fv, tab, jxw)
+    bf = np.einsum("ca,caK->cK", be, space.fold_w)          # fold constraints
+    out = np.zeros(space.n_dofs)
+    np.add.at(out, space.cell_dofs, bf)
+    return jnp.asarray(out)
+
+
 def interpolate(space: GridSpace, fn):
     """Nodal interpolation (VectorTools::interpolate) — host-side NumPy
     evaluation, transferred to device once."""
@@ -152,6 +196,15 @@ def l2_error(space: GridSpace, u, exact_fn, order: int | None = None) -> float:
     import jax
 
     order = order or (space.fe.degree + 2)
+    if isinstance(space, AdaptiveSpace):
+        rule, pts, jxw = _adaptive_quad(space, order)
+        tab = space.fe.tabulate(rule.points)
+        nc, nq, dim = pts.shape
+        un = np.einsum("caK,cK->ca", space.fold_w,
+                       np.asarray(u)[space.cell_dofs])
+        uh = un @ tab.T
+        ex = np.asarray(exact_fn(pts.reshape(-1, dim))).reshape(nc, nq)
+        return float(np.sqrt(np.sum((uh - ex) ** 2 * jxw)))
     rule, pts, jxw = _cell_quad_points(space, order)
     tab = jnp.asarray(space.fe.tabulate(rule.points))
     nc, nq, dim = pts.shape
@@ -172,6 +225,16 @@ def h1_error(space: GridSpace, u, exact_grad_fn, order: int | None = None) -> fl
     import jax
 
     order = order or (space.fe.degree + 2)
+    if isinstance(space, AdaptiveSpace):
+        rule, pts, jxw = _adaptive_quad(space, order)
+        rgrad = space.fe.tabulate_grad(rule.points)        # (nq, nloc, dim)
+        nc, nq, dim = pts.shape
+        un = np.einsum("caK,cK->ca", space.fold_w,
+                       np.asarray(u)[space.cell_dofs])
+        gh = np.einsum("ca,qad->cqd", un, rgrad) / \
+            space.grid.cell_h[:, None, :]
+        ge = np.asarray(exact_grad_fn(pts.reshape(-1, dim))).reshape(nc, nq, dim)
+        return float(np.sqrt(np.sum(np.sum((gh - ge) ** 2, axis=-1) * jxw)))
     rule, pts, jxw = _cell_quad_points(space, order)
     grad = space.fe.tabulate_grad(rule.points) / space.grid.h[None, None, :]
     grad = jnp.asarray(grad)  # (nq, nloc, dim) physical gradients

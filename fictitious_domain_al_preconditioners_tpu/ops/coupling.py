@@ -218,18 +218,24 @@ def build_coupling(bg_space: GridSpace, imm_space: ImmersedSpace,
 
     # point location + background tabulation: native C++ setup kernels when
     # the shared library is available (fictitious_domain_al_preconditioners_tpu.native),
-    # NumPy otherwise — identical results either way
+    # NumPy otherwise — identical results either way.  Adaptive (locally
+    # refined) backgrounds go through their folded tabulation, which already
+    # eliminates hanging-node constraints.
     from .. import native as _native
 
-    if _native.available() and hasattr(bg_space.fe, "nodes_1d"):
-        grid = bg_space.grid
-        cells, refs = _native.locate_points(flat_pts, np.asarray(grid.origin),
-                                            grid.h, np.asarray(grid.ncells))
-        bg_phi = _native.tabulate(refs, bg_space.fe.nodes_1d, grid.dim)
+    if hasattr(bg_space, "tabulate_at"):
+        bg_dofs, bg_phi = bg_space.tabulate_at(flat_pts)
     else:
-        cells, refs = bg_space.grid.locate(flat_pts)
-        bg_phi = bg_space.fe.tabulate(refs)           # (nq, nloc_bg)
-    bg_dofs = bg_space.cell_dofs[cells]               # (nq, nloc_bg)
+        if _native.available() and hasattr(bg_space.fe, "nodes_1d"):
+            grid = bg_space.grid
+            cells, refs = _native.locate_points(
+                flat_pts, np.asarray(grid.origin), grid.h,
+                np.asarray(grid.ncells))
+            bg_phi = _native.tabulate(refs, bg_space.fe.nodes_1d, grid.dim)
+        else:
+            cells, refs = bg_space.grid.locate(flat_pts)
+            bg_phi = bg_space.fe.tabulate(refs)       # (nq, nloc_bg)
+        bg_dofs = bg_space.cell_dofs[cells]           # (nq, nloc_bg)
 
     psi = imm_space.fe.tabulate(rule.points)          # (nq_pc, nloc_imm)
     imm_psi = np.broadcast_to(psi[None], (nc, nq_pc, psi.shape[1])).reshape(

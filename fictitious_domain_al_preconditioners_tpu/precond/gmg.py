@@ -55,11 +55,18 @@ class Prolongation:
         return out.at[self.cell_dofs].add(self.phi[:, :, None] * xf[:, None, :])
 
 
-def make_prolongation(fine: GridSpace, coarse: GridSpace) -> Prolongation:
+def make_prolongation(fine, coarse) -> Prolongation:
+    """FE-embedding prolongation by point location + tabulation; adaptive
+    (locally refined) spaces go through their folded ``tabulate_at`` so
+    hanging-node constraints are built into the transfer."""
     pts = fine.dof_points
-    cells, refs = coarse.grid.locate(pts)
-    phi = coarse.fe.tabulate(refs)
-    return Prolongation(jnp.asarray(coarse.cell_dofs[cells]),
+    if hasattr(coarse, "tabulate_at"):
+        dofs, phi = coarse.tabulate_at(pts)
+    else:
+        cells, refs = coarse.grid.locate(pts)
+        phi = coarse.fe.tabulate(refs)
+        dofs = coarse.cell_dofs[cells]
+    return Prolongation(jnp.asarray(dofs),
                         jnp.asarray(phi), (fine.n_dofs, coarse.n_dofs))
 
 
@@ -179,10 +186,16 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
     ``n_comp > 1`` builds the vector variant (component-major fields, e.g.
     the Stokes velocity block).
     """
+    def coarsenable(sp):
+        if hasattr(sp, "can_coarsen"):          # adaptive quadtree space
+            return sp.can_coarsen(min_cells)
+        g = sp.grid
+        return not (any(n % 2 != 0 for n in g.ncells)
+                    or min(g.ncells) // 2 < min_cells)
+
     spaces = [fine_space]
     while (n_levels is None or len(spaces) < n_levels):
-        g = spaces[-1].grid
-        if any(n % 2 != 0 for n in g.ncells) or min(g.ncells) // 2 < min_cells:
+        if not coarsenable(spaces[-1]):
             break
         spaces.append(spaces[-1].coarse_space())
 
@@ -220,7 +233,7 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
                              eig_ratio=eig_ratio)
         if i > 0:
             finer = spaces[i - 1]
-            if sp.fe.degree == 1 and sp.continuous:
+            if sp.fe.degree == 1 and sp.continuous and hasattr(sp, "n_points_1d"):
                 prolong = LatticeProlongation(
                     finer.n_points_1d, sp.n_points_1d,
                     (finer.n_dofs, sp.n_dofs))

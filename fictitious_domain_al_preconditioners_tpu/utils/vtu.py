@@ -81,6 +81,28 @@ def write_vtu_background(path: str, space, point_data: dict):
     ``DataOut::build_patches(degree)``)."""
     from ..core.grid import GridSpace as _GS, UniformGrid
 
+    if hasattr(space, "expand"):       # adaptive (locally refined) background
+        k, dim = space.fe.degree, space.grid.dim
+        conn = []
+        for s in range(k ** dim):      # Q1 sub-cells of the node lattice
+            rest, base = s, []
+            for d in range(dim):
+                base.append(rest % k)
+                rest //= k
+            ids = []
+            for c in range(2 ** dim):
+                idx, stride = 0, 1
+                for d in range(dim):
+                    idx += (base[d] + ((c >> d) & 1)) * stride
+                    stride *= k + 1
+                ids.append(idx)
+            conn.append(ids)
+        cells = space._cell_nodes[:, np.asarray(conn)].reshape(-1, 2 ** dim)
+        data = {k_: space.expand(np.asarray(v))
+                for k_, v in point_data.items()}
+        write_vtu(path, space._node_pos, cells, dim, data)
+        return
+
     k = space.fe.degree
     fine = UniformGrid(space.grid.dim, space.grid.origin, space.grid.extent,
                        tuple(n * k for n in space.grid.ncells))

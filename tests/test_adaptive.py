@@ -1,0 +1,215 @@
+"""Adaptive (locally refined) background grids: quadtree structure, 2:1
+balance, hanging-node constraints, assembly, coupling, GMG, and the
+delta_refinement end-to-end path (reference: immersed_laplace.cc:328-343 and
+deal.II AffineConstraints hanging-node handling)."""
+
+import numpy as np
+import pytest
+
+from fictitious_domain_al_preconditioners_tpu.core.adaptive import (
+    AdaptiveGrid, AdaptiveSpace)
+
+
+def _circle_points(n=200, r=0.3, c=(0.4, 0.4)):
+    t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    return np.stack([c[0] + r * np.cos(t), c[1] + r * np.sin(t)], -1)
+
+
+@pytest.fixture(scope="module")
+def refined_grid():
+    g = AdaptiveGrid.uniform(2, 3)
+    pts = _circle_points()
+    for _ in range(3):
+        g = g.refine_near(pts)
+    return g
+
+
+def test_two_to_one_balance(refined_grid):
+    g = refined_grid
+    assert g.max_level == 6 and g.min_level == 3
+    for l in range(g.max_level, 0, -1):
+        sel = np.flatnonzero(g.levels == l)
+        for d in range(2):
+            for step in (-1, 1):
+                nij = g.ij[sel].copy()
+                nij[:, d] += step
+                inside = (nij[:, d] >= 0) & (nij[:, d] < (1 << l))
+                idx, lvl = g.find_leaf(l, nij[inside])
+                assert (lvl[idx >= 0] >= l - 1).all()
+
+
+def test_leaves_tile_domain(refined_grid):
+    g = refined_grid
+    areas = np.prod(g.cell_h, axis=1)
+    assert abs(areas.sum() - 1.0) < 1e-12
+
+
+def test_locate_roundtrip(refined_grid):
+    g = refined_grid
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0.01, 0.99, size=(500, 2))
+    idx, ref = g.locate(pts)
+    h = g.cell_h[idx]
+    rec = g.cell_origins()[idx] + ref * h
+    np.testing.assert_allclose(rec, pts, atol=1e-13)
+
+
+@pytest.mark.parametrize("degree", [1, 2])
+def test_patch_test_exact(refined_grid, degree):
+    """Interpolation of a degree-k polynomial is exact across hanging nodes
+    (the constraints reproduce the conforming space)."""
+    sp = AdaptiveSpace(refined_grid, degree)
+    if degree == 1:
+        f = lambda p: 2.0 * p[:, 0] - 3.0 * p[:, 1] + 0.5
+    else:
+        f = lambda p: p[:, 0] ** 2 + 0.3 * p[:, 0] * p[:, 1] - p[:, 1] ** 2
+    u = f(sp.dof_points)
+    assert np.abs(sp.expand(u) - f(sp._node_pos)).max() < 1e-11
+
+
+def test_stiffness_annihilates_linears(refined_grid):
+    from fictitious_domain_al_preconditioners_tpu.ops.assembly import (
+        laplace_matrix)
+
+    sp = AdaptiveSpace(refined_grid, 1)
+    u = 2.0 * sp.dof_points[:, 0] - sp.dof_points[:, 1]
+    r = np.asarray(laplace_matrix(sp).mv(u))
+    interior = ~sp.boundary_dof_mask()
+    assert np.abs(r[interior]).max() < 1e-11
+
+
+def test_mass_total_is_area(refined_grid):
+    from fictitious_domain_al_preconditioners_tpu.ops.assembly import (
+        mass_matrix)
+
+    sp = AdaptiveSpace(refined_grid, 1)
+    ones = np.ones(sp.n_dofs)
+    assert abs(float(ones @ np.asarray(mass_matrix(sp).mv(ones))) - 1.0) < 1e-12
+
+
+def test_rhs_constant_sums_to_area(refined_grid):
+    from fictitious_domain_al_preconditioners_tpu.ops.assembly import (
+        rhs_vector)
+
+    sp = AdaptiveSpace(refined_grid, 1)
+    b = np.asarray(rhs_vector(sp, lambda p: np.ones(len(p))))
+    assert abs(b.sum() - 1.0) < 1e-12
+
+
+def test_coupling_sum_is_curve_length(refined_grid):
+    """sum(C) == |Γ| on an adaptive background (nitsche_bcs.cc:467-490
+    DEBUG check, adaptive variant)."""
+    from fictitious_domain_al_preconditioners_tpu.core.immersed import (
+        parametrized_curve)
+    from fictitious_domain_al_preconditioners_tpu.ops.coupling import (
+        build_coupling)
+
+    sp = AdaptiveSpace(refined_grid, 1)
+    curve = parametrized_curve(
+        lambda p: np.stack([0.4 + 0.3 * np.cos(2 * np.pi * p[:, 0]),
+                            0.4 + 0.3 * np.sin(2 * np.pi * p[:, 0])], -1), 5)
+    C = build_coupling(sp, curve.space(1), order=3)
+    assert abs(C.sum() - curve.measure) < 1e-10
+
+
+def test_poisson_adaptive_gmg_converges(refined_grid):
+    """CG + quadtree-GMG solves Poisson on the adaptive grid in few
+    iterations (the ML-AMG parity check on locally refined meshes)."""
+    import jax.numpy as jnp
+
+    from fictitious_domain_al_preconditioners_tpu.ops.assembly import (
+        laplace_matrix, rhs_vector)
+    from fictitious_domain_al_preconditioners_tpu.ops.krylov import cg
+    from fictitious_domain_al_preconditioners_tpu.ops.operators import (
+        constrain)
+    from fictitious_domain_al_preconditioners_tpu.precond.gmg import build_gmg
+
+    sp = AdaptiveSpace(refined_grid, 1)
+    K = laplace_matrix(sp)
+    free = jnp.asarray(~sp.boundary_dof_mask())
+    K_c = constrain(K.as_linop(), free)
+
+    def factory(s):
+        Ks = K if s is sp else laplace_matrix(s)
+        return Ks.mv, Ks.diag()
+
+    gmg = build_gmg(sp, factory, free_mask=free)
+    b = jnp.where(free, rhs_vector(sp, lambda p: np.ones(len(p))), 0.0)
+    x, info = cg(K_c, b, M=gmg.apply, tol=1e-10, max_steps=60)
+    assert bool(info.converged)
+    assert int(info.iterations) <= 25
+    # residual really is small
+    r = np.asarray(K_c(x) - b)
+    assert np.abs(r).max() < 1e-8
+
+
+def test_adaptive_solution_matches_uniform():
+    """The adaptive Poisson solution agrees with the uniform fine-grid
+    solution where the mesh is fine (manufactured solution accuracy)."""
+    import jax.numpy as jnp
+
+    from fictitious_domain_al_preconditioners_tpu.ops.assembly import (
+        l2_error, laplace_matrix, rhs_vector)
+    from fictitious_domain_al_preconditioners_tpu.ops.krylov import cg
+    from fictitious_domain_al_preconditioners_tpu.ops.operators import (
+        constrain)
+
+    exact = lambda p: np.sin(np.pi * p[:, 0]) * np.sin(np.pi * p[:, 1])
+    f = lambda p: 2 * np.pi ** 2 * exact(p)
+
+    def solve(g):
+        sp = AdaptiveSpace(g, 1)
+        K = laplace_matrix(sp)
+        free = jnp.asarray(~sp.boundary_dof_mask())
+        K_c = constrain(K.as_linop(), free)
+        b = jnp.where(free, rhs_vector(sp, f), 0.0)
+        x, info = cg(K_c, b, tol=1e-12, max_steps=4000)
+        assert bool(info.converged)
+        return sp, x
+
+    # uniform-as-adaptive: clean O(h^2) L2 rate (validates assembly +
+    # constraints machinery on the degenerate no-hanging-node case)
+    u_errs = [l2_error(*solve(AdaptiveGrid.uniform(2, b)), exact)
+              for b in (3, 4)]
+    assert 1.9 < np.log2(u_errs[0] / u_errs[1]) < 2.1, u_errs
+
+    # locally refined: error strictly better than the uniform base grid and
+    # decreasing fast with base refinement (mesh sequences with a moving
+    # refined band are not a clean C*h^2 family — compare against uniform)
+    a_errs = []
+    for base in (3, 4):
+        g = AdaptiveGrid.uniform(2, base)
+        for _ in range(2):
+            g = g.refine_near(_circle_points())
+        a_errs.append(l2_error(*solve(g), exact))
+    assert a_errs[0] < u_errs[0] and a_errs[1] < u_errs[1]
+    assert a_errs[0] / a_errs[1] > 2.5, a_errs
+
+
+def test_delta_refinement_e2e_augmented():
+    """immersed_laplace with delta_refinement: converged AL solve, constraint
+    satisfied, and the outer count matches the uniform grid of the same
+    finest resolution (iteration parity of the locally refined path)."""
+    from fictitious_domain_al_preconditioners_tpu.models.immersed_laplace import (
+        ImmersedLaplaceConfig, ImmersedLaplaceProblem, SolverControlConfig)
+
+    def run(init, delta):
+        cfg = ImmersedLaplaceConfig(
+            initial_refinement=init, delta_refinement=delta,
+            initial_embedded_refinement=6,
+            solver="augmented", use_diagonal_inverse=True,
+            schur=SolverControlConfig(max_steps=200, tolerance=1e-10,
+                                      reduction=None))
+        p = ImmersedLaplaceProblem(cfg)
+        p.setup()
+        p.solve()
+        return p
+
+    pa = run(4, 1)
+    assert pa.results["converged"]
+    assert pa.constraint_residual() < 1e-8
+    assert pa.space.grid.max_level == 5      # locally refined
+    pu = run(5, 0)
+    # same finest h near Gamma -> same outer iteration count, fewer dofs
+    assert pa.results["outer_iterations"] == pu.results["outer_iterations"]
+    assert pa.space.n_dofs < pu.space.n_dofs
