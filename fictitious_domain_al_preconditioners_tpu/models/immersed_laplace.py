@@ -89,6 +89,10 @@ class ImmersedLaplaceConfig:
     fgmres_restart: int = 50
     inner_max_steps: int = 100     # SolverControl control_lagrangian(100, 1e-2)
     inner_tolerance: float = 1e-2
+    # TPU extension (no reference analog): run the inner-solve multigrid
+    # V-cycle in bfloat16 — a preconditioner serving a 1e-2 inner tolerance
+    # doesn't need more, and bf16 halves the smoother's HBM traffic
+    use_bf16_multigrid: bool = False
 
     @classmethod
     def from_prm(cls, text_or_path) -> "ImmersedLaplaceConfig":
@@ -395,21 +399,26 @@ class ImmersedLaplaceProblem:
         free = self.free
 
         if cfg.use_operator_form:
-            # gamma scaled by 1/h_Gamma; AL term = particle mass on Gamma,
-            # materialized as a compact dense block over the touched dofs
+            # gamma scaled by 1/h_Gamma; AL term = particle mass on Gamma.
+            # On uniform Q1 lattices it materializes as a 9-point
+            # variable-coefficient patch stencil (no gather/scatter); compact
+            # dense block otherwise.
             gamma = cfg.gamma / self.curve.h_max
-            Cpart = build_coupling(self.space, self.imm_space,
-                                   order=2 * cfg.embedding_space_degree + 1)
-            AL, al_diag_fine = Cpart.compact_al(gamma)
+
+            def particle_al(sp):
+                Cp = build_coupling(sp, self.imm_space,
+                                    order=2 * cfg.embedding_space_degree + 1)
+                st = Cp.patch_stencil_al(sp, gamma)
+                return st if st is not None else Cp.compact_al(gamma)
+
+            AL, al_diag_fine = particle_al(self.space)
             inv_w = (inv_diag(self.M) if cfg.use_diagonal_inverse
                      else inv_exact(self.M))
 
             def al_factory(sp):
                 if sp is self.space:
                     return AL, al_diag_fine
-                Cp = build_coupling(sp, self.imm_space,
-                                    order=2 * cfg.embedding_space_degree + 1)
-                return Cp.compact_al(gamma)
+                return particle_al(sp)
         else:
             gamma = cfg.gamma
             w_diag = 1.0 / np.asarray(self.M.diag()) ** 2
@@ -449,7 +458,8 @@ class ImmersedLaplaceProblem:
 
             return mv, K_l.diag() + al_diag
 
-        gmg = build_gmg(self.space, aug_op_factory, free_mask=self.free)
+        gmg = build_gmg(self.space, aug_op_factory, free_mask=self.free,
+                        dtype=jnp.bfloat16 if cfg.use_bf16_multigrid else None)
 
         def aug_inv(v):
             x, _ = cg(Aug, v, M=gmg.apply, tol=cfg.inner_tolerance,

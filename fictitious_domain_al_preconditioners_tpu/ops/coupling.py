@@ -164,6 +164,68 @@ class Coupling:
         diag = jnp.zeros(n).at[uniqj].set(jnp.diagonal(Aj))
         return LinOp(mv, (n, n), mv, name="AL_compact"), diag
 
+    def patch_stencil_al(self, space, gamma: float):
+        """Particle-form AL term as a *variable-coefficient 9-point lattice
+        stencil on the Γ-band bounding patch*.
+
+        The particle matrix Σ_q JxW_q φφᵀ only couples background dofs
+        sharing a cell — lattice distance ≤ 1 — so on a Q1 uniform grid it is
+        a 9-point stencil whose weights live on the O(|Γ|/h) band.  The apply
+        is a static patch slice + 9 fused FMAs + one update-slice: no gather,
+        no scatter, no dense matvec — replacing :meth:`compact_al`'s
+        latency-bound gather→MXU→scatter (~200µs at 1M dofs) with ~µs-scale
+        patch arithmetic.  Returns (LinOp, assembled diagonal) like
+        :meth:`compact_al`; requires the patch to be interior to the lattice
+        (Γ away from ∂Ω) — returns None when not applicable."""
+        import jax
+
+        if not (hasattr(space, "n_points_1d") and space.fe.degree == 1
+                and space.continuous):
+            return None
+        npts = space.n_points_1d          # (nx, ny) dof order, x fastest
+        nx, ny = npts[0], npts[1]
+        dofs = np.asarray(self.bg_dofs)   # (nq, 4)
+        rows = dofs // nx                 # lattice row (slow coord)
+        cols = dofs % nx
+        r0, r1 = int(rows.min()), int(rows.max())
+        c0, c1 = int(cols.min()), int(cols.max())
+        if r0 < 1 or c0 < 1 or r1 > ny - 2 or c1 > nx - 2:
+            return None                   # band touches ∂Ω: fall back
+        pr, pc = r1 - r0 + 1, c1 - c0 + 1
+        phi = np.asarray(self.bg_phi)     # (nq, 4)
+        jxw = np.asarray(self.jxw)
+        # local matrices at each quad point: jxw * phi phi^T
+        locmat = jxw[:, None, None] * phi[:, :, None] * phi[:, None, :]
+        w9 = np.zeros((3, 3, pr, pc))
+        for i in range(dofs.shape[1]):
+            for j in range(dofs.shape[1]):
+                dr = rows[:, j] - rows[:, i] + 1   # in {0,1,2}
+                dc = cols[:, j] - cols[:, i] + 1
+                np.add.at(w9, (dr, dc, rows[:, i] - r0, cols[:, i] - c0),
+                          locmat[:, i, j])
+        w9 = jnp.asarray(gamma * w9)
+        n = self.shape[1]
+
+        def mv(u):
+            u2 = u.reshape(ny, nx)
+            up = jax.lax.dynamic_slice(u2, (r0 - 1, c0 - 1), (pr + 2, pc + 2))
+            acc = None
+            for a in range(3):
+                for b in range(3):
+                    term = w9[a, b].astype(u.dtype) * \
+                        jax.lax.dynamic_slice(up, (a, b), (pr, pc))
+                    acc = term if acc is None else acc + term
+            out = jnp.zeros((ny, nx), dtype=u.dtype)
+            out = jax.lax.dynamic_update_slice(out, acc, (r0, c0))
+            return out.reshape(-1)
+
+        dg = np.zeros((ny, nx))
+        dg[r0:r1 + 1, c0:c1 + 1] = np.asarray(w9[1, 1])
+        diag = jnp.asarray(dg.reshape(-1))
+        from .linop import LinOp as _LinOp
+
+        return _LinOp(mv, (n, n), mv, name="AL_stencil"), diag
+
     def al_term_diag(self, w_diag, gamma: float):
         """Diagonal of γ·Cᵀdiag(w)C via deduplicated COO (host-side setup,
         feeds the GMG/Chebyshev smoother of the augmented block)."""

@@ -135,16 +135,27 @@ class _Level:
 
 
 class GMG:
-    """V-cycle preconditioner.  ``apply(b) -> x`` is traceable."""
+    """V-cycle preconditioner.  ``apply(b) -> x`` is traceable.
 
-    def __init__(self, levels, coarse_lu, n_cycles: int = 1):
+    ``dtype`` is the V-cycle working precision: with ``jnp.bfloat16`` the
+    smoother sweeps and grid transfers read/write half the HBM bytes (the
+    casts fuse into the stencil loops).  A preconditioner only needs the
+    accuracy of the inner tolerance it serves (1e-2 for the AL inner solves),
+    so reduced precision costs no outer iterations — apply() casts back to
+    the caller's dtype at the boundary."""
+
+    def __init__(self, levels, coarse_inv, n_cycles: int = 1, dtype=None):
         self.levels = levels
-        self.coarse_lu = coarse_lu
+        self.coarse_inv = coarse_inv
         self.n_cycles = n_cycles
+        self.dtype = dtype or levels[0].diag_inv.dtype
 
     def _coarse_solve(self, b):
-        lu, piv = self.coarse_lu
-        return jax.scipy.linalg.lu_solve((lu, piv), b)
+        # precomputed dense inverse: ONE MXU matmul per V-cycle — triangular
+        # lu_solve is sequential and latency-bound on TPU.  The matmul runs
+        # at the inverse's (full) precision.
+        return (self.coarse_inv @ b.astype(self.coarse_inv.dtype)).astype(
+            self.dtype)
 
     def _vcycle(self, li: int, b):
         level = self.levels[li]
@@ -154,18 +165,18 @@ class GMG:
         r = b - level.op(x)
         coarse = self.levels[li + 1]
         # levels[li+1].prolong maps level li+1 -> level li
-        rc = coarse.mask * coarse.prolong.rmv(r)
+        rc = (coarse.mask * coarse.prolong.rmv(r)).astype(self.dtype)
         xc = self._vcycle(li + 1, rc)
-        x = x + level.mask * coarse.prolong.mv(xc)
+        x = x + (level.mask * coarse.prolong.mv(xc)).astype(self.dtype)
         # post-smooth on the residual equation
         x = x + level.smoother(b - level.op(x))
         return x
 
     def apply(self, b):
-        x = self._vcycle(0, b)
+        x = self._vcycle(0, b.astype(self.dtype))
         for _ in range(self.n_cycles - 1):
-            x = x + self._vcycle(0, b - self.levels[0].op(x))
-        return x
+            x = x + self._vcycle(0, b.astype(self.dtype) - self.levels[0].op(x))
+        return x.astype(b.dtype)
 
     def as_linop(self) -> LinOp:
         n = self.levels[0].space.n_dofs
@@ -222,13 +233,15 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
         dt = dtype or diag.dtype
         maskf = mask.astype(dt)
 
-        def mv(x, mv_raw=mv_raw, maskf=maskf):
-            return maskf * mv_raw(maskf * x) + (1.0 - maskf) * x
+        def mv(x, mv_raw=mv_raw, maskf=maskf, dt=dt):
+            return (maskf * mv_raw(maskf * x) + (1.0 - maskf) * x).astype(dt)
 
-        diag_inv = jnp.where(mask, 1.0 / diag, 1.0)
-        lam = lanczos_max_eig(lambda v, mv=mv, di=diag_inv: di * mv(v),
-                              sp.n_dofs * n_comp, steps=lanczos_steps,
-                              dtype=dt)
+        diag_inv = jnp.where(mask, 1.0 / diag, 1.0).astype(dt)
+        # Lanczos eigenvalue estimation needs more precision than bf16 keeps
+        lanc_dt = jnp.float32 if dt == jnp.bfloat16 else dt
+        lam = lanczos_max_eig(
+            lambda v, mv=mv, di=diag_inv: (di * mv(v.astype(dt))).astype(lanc_dt),
+            sp.n_dofs * n_comp, steps=lanczos_steps, dtype=lanc_dt)
         smoother = chebyshev(mv, diag_inv, lam, degree=smoother_degree,
                              eig_ratio=eig_ratio)
         if i > 0:
@@ -245,10 +258,14 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
             prolong = None
         levels.append(_Level(sp, mv, diag_inv, maskf, smoother, prolong))
 
-    # coarse dense factorization
+    # coarse dense inverse (SPD + well-conditioned at coarse sizes; the
+    # explicit inverse turns every V-cycle's coarse solve into one matmul).
+    # Built and applied at >= f32 even when the cycle runs bf16.
     coarse = levels[-1]
     nco = coarse.space.n_dofs * n_comp
+    inv_dt = jnp.float32 if levels[0].mask.dtype == jnp.bfloat16 \
+        else levels[0].mask.dtype
     eye = jnp.eye(nco, dtype=levels[0].mask.dtype)
-    dense = jax.vmap(coarse.op, in_axes=1, out_axes=1)(eye)
-    lu, piv = jax.scipy.linalg.lu_factor(dense)
-    return GMG(levels, (lu, piv), n_cycles=n_cycles)
+    dense = jax.vmap(coarse.op, in_axes=1, out_axes=1)(eye).astype(inv_dt)
+    inv = jnp.linalg.inv(dense)
+    return GMG(levels, inv, n_cycles=n_cycles)

@@ -162,6 +162,36 @@ class TestCoupling:
         C = build_coupling(bg, sp, order=3)
         assert C.sum() == pytest.approx(mesh.measure, rel=1e-12)
 
+    def test_patch_stencil_al_matches_compact(self):
+        """The 9-point Γ-band patch stencil form of the particle AL term is
+        entry-exact vs the compact dense block (both = γ Σ_q JxW φφᵀ)."""
+        g = UniformGrid.hyper_cube(2, 0.0, 1.0, refinement=5)
+        bg = GridSpace.q(g, 1)
+        mesh = parametrized_curve(circle_conf, refinement=6)
+        C = build_coupling(bg, mesh.space(1), order=3)
+        gamma = 7.3
+        AL_c, diag_c = C.compact_al(gamma)
+        st = C.patch_stencil_al(bg, gamma)
+        assert st is not None
+        AL_s, diag_s = st
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(bg.n_dofs))
+        np.testing.assert_allclose(np.asarray(AL_s(x)), np.asarray(AL_c(x)),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(diag_s), np.asarray(diag_c),
+                                   atol=1e-12)
+
+    def test_patch_stencil_al_declines_boundary_band(self):
+        """Bands touching ∂Ω (the nitsche boundary-multiplier case) fall back
+        to the compact dense form."""
+        from fictitious_domain_al_preconditioners_tpu.core.immersed import (
+            boundary_mesh)
+
+        g = UniformGrid.hyper_cube(2, 0.0, 1.0, refinement=4)
+        bg = GridSpace.q(g, 1)
+        bm = boundary_mesh(g)
+        C = build_coupling(bg, bm.space(1), order=3)
+        assert C.patch_stencil_al(bg, 1.0) is None
+
     def test_constant_interpolation(self):
         # C applied to the constant background field == M_imm applied to ones
         g = UniformGrid.hyper_cube(2, 0.0, 1.0, refinement=4)
