@@ -16,7 +16,11 @@ import time
 
 import numpy as np
 
-REFINEMENT = int(os.environ.get("BENCH_REFINEMENT", "10"))
+# default: 4.2M background dofs — the reference tables' second-largest size
+# (tables/results.md 1k -> 4.2M rows).  Refinement 12 (16.8M) currently
+# exceeds the remote-compile constant payload (Γ-band + GMG diag constants);
+# threading them as jit arguments is tracked for round 2.
+REFINEMENT = int(os.environ.get("BENCH_REFINEMENT", "11"))
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
 

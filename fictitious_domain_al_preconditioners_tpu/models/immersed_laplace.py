@@ -234,11 +234,16 @@ class ImmersedLaplaceProblem:
 
         return K_c, K_inv
 
+    @staticmethod
+    def _is_lattice(sp) -> bool:
+        return sp.fe.degree == 1 and sp.continuous and \
+            hasattr(sp, "n_points_1d")
+
     def _k_apply(self, sp, K_cm):
         """Fast path: Q1 background stiffness applies as separable lattice
         stencils (parallel.lattice) — near-memory-bound on TPU; higher degrees
         fall back to the element (gather/einsum/scatter) form."""
-        if sp.fe.degree == 1 and sp.continuous and hasattr(sp, "n_points_1d"):
+        if self._is_lattice(sp):
             from ..parallel.lattice import LatticeOps, flat_to_lattice, to_flat
 
             lat = LatticeOps.for_space(sp)
@@ -250,10 +255,20 @@ class ImmersedLaplaceProblem:
             return mv
         return K_cm.mv
 
+    def _k_diag(self, sp, K_cm):
+        """Stiffness diagonal without materializing cell dof tables (lattice
+        outer-sum formula on Q1 grids — the element-form diag bakes a
+        cell_dofs constant that breaks remote compiles at 16M+ dofs)."""
+        if self._is_lattice(sp):
+            from ..parallel.lattice import LatticeOps
+
+            return LatticeOps.for_space(sp).laplace_diag()
+        return K_cm.diag()
+
     def _factory_k(self, sp):
         K = self.K if sp is self.space else laplace_matrix(
             sp, order=self.cfg.embedding_space_degree + 1)
-        return self._k_apply(sp, K), K.diag()
+        return self._k_apply(sp, K), self._k_diag(sp, K)
 
     def _c_linops(self):
         C_lin = LinOp(self.C.mv, self.C.shape, self.C.rmv, name="C")
@@ -456,7 +471,7 @@ class ImmersedLaplaceProblem:
             def mv(x):
                 return k_apply(x) + al_apply(x)
 
-            return mv, K_l.diag() + al_diag
+            return mv, self._k_diag(sp, K_l) + al_diag
 
         gmg = build_gmg(self.space, aug_op_factory, free_mask=self.free,
                         dtype=jnp.bfloat16 if cfg.use_bf16_multigrid else None)

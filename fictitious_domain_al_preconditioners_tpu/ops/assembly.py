@@ -120,17 +120,41 @@ def _cell_quad_points_traced(space: GridSpace, rule):
         jnp.asarray(grid.h)
 
 
+def _cell_dofs_traced(space: GridSpace):
+    """(nc, nloc) global dof indices computed INSIDE jit from iota — at 16M+
+    cells the host-built cell_dofs array is a multi-hundred-MB constant that
+    exceeds remote-compile payload limits."""
+    import jax
+
+    grid = space.grid
+    k = space.fe.degree
+    npts = space.n_points_1d
+    strides = np.cumprod([1] + list(npts[:-1]))
+    mi = space.fe.node_multi_indices            # (nloc, dim) small
+    idx = jax.lax.broadcasted_iota(jnp.int32, (grid.n_cells, 1), 0)[:, 0]
+    out = jnp.zeros((grid.n_cells, space.fe.n_dofs_per_cell), dtype=jnp.int32)
+    rest = idx
+    for d in range(grid.dim):
+        ci = rest % grid.ncells[d]
+        rest = rest // grid.ncells[d]
+        out = out + (ci[:, None] * k + jnp.asarray(mi[:, d])[None, :]) * \
+            int(strides[d])
+    return out
+
+
 def rhs_vector(space: GridSpace, fn, order: int | None = None):
     """(f, phi_i) load vector for a traceable ``fn(points) -> values``.
 
     Scalar fn -> (ndofs,); vector fn -> (ndofs, ncomp).  Runs as one jitted
-    computation (single device dispatch); quadrature points are generated
-    in-jit (iota), not baked as constants."""
+    computation (single device dispatch); quadrature points AND cell dof
+    indices are generated in-jit (iota), not baked as constants."""
     import jax
 
     order = order or default_order(space)
     if isinstance(space, AdaptiveSpace):
         return _adaptive_rhs(space, fn, order)
+    if space.fe.degree == 1 and space.continuous:
+        return _lattice_rhs(space, fn, order)
     rule = gauss(space.grid.dim, order)
     jxw = rule.weights * float(np.prod(space.grid.h))
     tab = jnp.asarray(space.fe.tabulate(rule.points))  # (nq, nloc)
@@ -139,16 +163,67 @@ def rhs_vector(space: GridSpace, fn, order: int | None = None):
 
     def build():
         pts = _cell_quad_points_traced(space, rule)
+        cell_dofs = _cell_dofs_traced(space)
         fv = jnp.asarray(fn(pts.reshape(-1, dim)))
         w_tab = tab * jnp.asarray(jxw)[:, None]  # (nq, nloc)
         if fv.ndim == 1:
             be = jnp.einsum("cq,qa->ca", fv.reshape(nc, nq), w_tab)
             out = jnp.zeros(space.n_dofs, dtype=be.dtype)
-            return out.at[jnp.asarray(space.cell_dofs)].add(be)
+            return out.at[cell_dofs].add(be)
         ncomp = fv.shape[1]
         be = jnp.einsum("cqk,qa->cak", fv.reshape(nc, nq, ncomp), w_tab)
         out = jnp.zeros((space.n_dofs, ncomp), dtype=be.dtype)
-        return out.at[jnp.asarray(space.cell_dofs)].add(be)
+        return out.at[cell_dofs].add(be)
+
+    return jax.jit(build)()
+
+
+def _lattice_rhs(space: GridSpace, fn, order: int):
+    """Q1 load vector as shifted slice-adds on the node lattice: per quad
+    point, f is evaluated on the cell lattice (in-jit iota points) and
+    distributed to the 2^dim corners by static update-slices — no per-cell
+    dof table, no scatter, one cell-lattice temporary at a time (the generic
+    path's all-cells quadrature arrays exceed HBM at 16M+ cells)."""
+    import jax
+
+    grid = space.grid
+    dim = grid.dim
+    rule = gauss(dim, order)
+    jxw = rule.weights * float(np.prod(grid.h))
+    tab = space.fe.tabulate(rule.points)        # (nq, 2^dim)
+    mi = space.fe.node_multi_indices            # (2^dim, dim) 0/1 offsets
+    # lattice axis order: REVERSED coordinates (axis 0 = slowest = last dim)
+    nodes_shape = tuple(reversed(space.n_points_1d))
+    cells_shape = tuple(reversed(grid.ncells))
+
+    def build():
+        dt = jnp.zeros(0).dtype  # default float dtype
+        coords = []
+        for d in range(dim):     # coordinate d varies along lattice axis dim-1-d
+            ax = dim - 1 - d
+            c = jax.lax.broadcasted_iota(jnp.int32, cells_shape, ax).astype(dt)
+            coords.append(c)
+        out = None
+        for q in range(len(jxw)):
+            pts = jnp.stack(
+                [jnp.asarray(grid.origin[d]) +
+                 (coords[d] + float(rule.points[q, d])) * float(grid.h[d])
+                 for d in range(dim)], axis=-1)
+            fv = jnp.asarray(fn(pts.reshape(-1, dim)))
+            ncomp = 0 if fv.ndim == 1 else fv.shape[1]
+            fv = fv.T.reshape(((ncomp,) if ncomp else ()) + cells_shape)
+            if out is None:
+                out = jnp.zeros(((ncomp,) if ncomp else ()) + nodes_shape,
+                                dtype=dt)
+            lead = (slice(None),) if ncomp else ()
+            for a in range(mi.shape[0]):
+                off = tuple(int(mi[a, d]) for d in reversed(range(dim)))
+                idx = lead + tuple(slice(o, o + n)
+                                   for o, n in zip(off, cells_shape))
+                out = out.at[idx].add(float(tab[q, a] * jxw[q]) * fv)
+        if out.ndim > dim:      # vector fn -> (ndofs, ncomp)
+            return out.reshape(out.shape[0], -1).T
+        return out.reshape(-1)
 
     return jax.jit(build)()
 

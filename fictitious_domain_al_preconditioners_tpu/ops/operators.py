@@ -42,9 +42,11 @@ class CellMatrix:
     coef: Optional[jnp.ndarray] = None  # (nc,)
 
     def __post_init__(self):
-        self.row_dofs = jnp.asarray(self.row_dofs)
-        self.col_dofs = jnp.asarray(self.col_dofs)
-        self.local = jnp.asarray(self.local)
+        # arrays stay host-side (NumPy) until first use: a CellMatrix whose
+        # apply is bypassed by a lattice/stencil fast path must not pay a
+        # multi-hundred-MB device transfer at construction (16M+ cells)
+        self.row_dofs = np.asarray(self.row_dofs)
+        self.col_dofs = np.asarray(self.col_dofs)
         if self.coef is not None:
             self.coef = jnp.asarray(self.coef)
 

@@ -123,6 +123,32 @@ class LatticeOps:
             out = term if out is None else out + term
         return self._mask_pad(out)
 
+    def laplace_diag(self):
+        """Assembled diagonal of the lattice stiffness as NumPy outer sums of
+        the 1D operator diagonals — O(n^{1/dim}) setup arrays, no per-cell
+        dof table (the generic CellMatrix.diag bakes a cell_dofs constant
+        that breaks remote compiles at 16M+ dofs)."""
+        import numpy as np
+
+        dim = len(self.shape)
+        dK, dM = [], []
+        for ax in range(dim):
+            h, n = self.h[ax], self.shape[ax]
+            k = np.full(n, 2.0 / h)
+            k[0] = k[-1] = 1.0 / h
+            m = np.full(n, 2.0 * h / 3.0)
+            m[0] = m[-1] = h / 3.0
+            dK.append(k)
+            dM.append(m)
+        out = 0.0
+        for d in range(dim):
+            term = np.array(1.0)
+            for ax in range(dim):
+                vec = dK[ax] if ax == d else dM[ax]
+                term = np.multiply.outer(term, vec)
+            out = out + term
+        return jnp.asarray(out.reshape(-1))
+
     def pad(self, u_lat):
         if self.padded is None:
             return u_lat
