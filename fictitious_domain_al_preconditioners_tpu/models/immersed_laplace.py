@@ -406,6 +406,42 @@ class ImmersedLaplaceProblem:
 
     def _build_augmented(self):
         """FGMRES + AL preconditioner (immersed_laplace.cc:636-944)."""
+        return jax.jit(self._augmented_run())
+
+    def build_sharded_solver(self, mesh):
+        """The flagship augmented solve jitted under SPMD over ``mesh``
+        (a ``jax.sharding.Mesh``): background dof vectors block-partitioned
+        over every mesh device, immersed-side vectors replicated — the
+        TPU-native form of the reference's (latent) MPI decomposition
+        (SURVEY §5 'Distributed communication backend'; utilities.h:755-837).
+
+        The SAME program as the serial ``solver='augmented'`` path — outer
+        FGMRES, AL preconditioner, inner CG, full GMG hierarchy — with
+        lattice stencils lowering to ICI halo exchanges under GSPMD.
+        Returns ``run(rhs_f, rhs_g, bc_values) -> (u, lam, info)``.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        run = self._augmented_run()
+        axes = tuple(mesh.axis_names)
+        vec = NamedSharding(mesh, P(axes))   # background dof vector: blocked
+        rep = NamedSharding(mesh, P())       # immersed side: replicated
+
+        # constraints go INSIDE the program (not jit in_shardings): the
+        # lattice has (2^r + 1)^2 dofs — never divisible by the device count —
+        # and GSPMD handles uneven block sharding with internal padding
+        def sharded_run(rhs_f, rhs_g, bc_values):
+            rhs_f = jax.lax.with_sharding_constraint(rhs_f, vec)
+            rhs_g = jax.lax.with_sharding_constraint(rhs_g, rep)
+            bc_values = jax.lax.with_sharding_constraint(bc_values, vec)
+            u, lam, info = run(rhs_f, rhs_g, bc_values)
+            return (jax.lax.with_sharding_constraint(u, vec),
+                    jax.lax.with_sharding_constraint(lam, rep), info)
+
+        return jax.jit(sharded_run)
+
+    def _augmented_run(self):
+        """Un-jitted flagship solve (shared by the serial and sharded jits)."""
         cfg = self.cfg
         C_lin, Ct_lin = self._c_linops()
         layout = self.layout
@@ -496,7 +532,7 @@ class ImmersedLaplaceProblem:
             u = jnp.where(free, u, bc_values)
             return u, lam, info
 
-        return jax.jit(run)
+        return run
 
     def _finalize(self, u, lam, info):
         self.u = u

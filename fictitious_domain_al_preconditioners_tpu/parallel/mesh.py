@@ -33,9 +33,20 @@ def padded_shape(shape: tuple, mesh: Mesh) -> tuple:
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """Near-square 2D mesh ('x', 'y') over the available devices."""
+    """Near-square 2D mesh ('x', 'y') over the available devices.
+
+    Raises if fewer than ``n_devices`` devices are visible (a silent
+    truncation here produced a size-1 array reshaped to the full mesh shape,
+    which crashed the round-1 multichip dryrun)."""
     devices = devices if devices is not None else jax.devices()
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise RuntimeError(
+            f"make_mesh: {n} devices requested but only {len(devices)} "
+            f"visible on platform {devices[0].platform if devices else '?'}. "
+            "For a virtual CPU mesh set JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} before "
+            "the interpreter starts (see tests/conftest.py).")
     devices = devices[:n]
     a = int(np.floor(np.sqrt(n)))
     while n % a != 0:
