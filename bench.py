@@ -16,11 +16,11 @@ import time
 
 import numpy as np
 
-# default: 4.2M background dofs — the reference tables' second-largest size
-# (tables/results.md 1k -> 4.2M rows).  Refinement 12 (16.8M) currently
-# exceeds the remote-compile constant payload (Γ-band + GMG diag constants);
-# threading them as jit arguments is tracked for round 2.
-REFINEMENT = int(os.environ.get("BENCH_REFINEMENT", "11"))
+# default: 16.8M background dofs — the reference tables' LARGEST size
+# (tables/results.md:19, 16,836,469 DoF row).  Feasible since the solver
+# programs hoist their large closed-over constants to runtime arguments
+# (utils.hoist), so the compile payload stays KB-sized at any refinement.
+REFINEMENT = int(os.environ.get("BENCH_REFINEMENT", "12"))
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
 

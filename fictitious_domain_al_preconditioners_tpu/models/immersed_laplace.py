@@ -326,7 +326,7 @@ class ImmersedLaplaceProblem:
             u = jnp.where(free, u, bc_values)
             return u, lam, info
 
-        return jax.jit(run)
+        return self._jit_solver(run)
 
     def _build_elman(self):
         """Elman BFBt block-triangular GMRES (immersed_laplace.cc:526-584)."""
@@ -365,7 +365,7 @@ class ImmersedLaplaceProblem:
             u = jnp.where(free, u, bc_values)
             return u, lam, info
 
-        return jax.jit(run)
+        return self._jit_solver(run)
 
     def _build_rational(self):
         """MinRes + rational preconditioner diag(K⁻¹, (−Δ_Γ)^{-1/2})
@@ -395,7 +395,7 @@ class ImmersedLaplaceProblem:
             u = jnp.where(free, u, bc_values)
             return u, lam, info
 
-        return jax.jit(run)
+        return self._jit_solver(run)
 
     @staticmethod
     def _imm_linfty_norm(A) -> float:
@@ -404,9 +404,21 @@ class ImmersedLaplaceProblem:
         np.add.at(sums, rows, np.abs(vals))
         return float(sums.max())
 
+    def _jit_solver(self, run):
+        """jit a solver with its large closed-over constants (Γ-band stencil
+        weights, GMG diagonals/masks, Dirichlet masks) hoisted to runtime
+        arguments — the compile payload stays a few KB at the reference's
+        16.8M-dof row (tables/results.md:19) instead of shipping hundreds of
+        MB of baked constants to the compiler."""
+        from ..utils.hoist import jit_hoisted
+
+        ex = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                   for a in (self.rhs_f, self.rhs_g, self.bc_values))
+        return jit_hoisted(run, ex)
+
     def _build_augmented(self):
         """FGMRES + AL preconditioner (immersed_laplace.cc:636-944)."""
-        return jax.jit(self._augmented_run())
+        return self._jit_solver(self._augmented_run())
 
     def build_sharded_solver(self, mesh):
         """The flagship augmented solve jitted under SPMD over ``mesh``

@@ -201,7 +201,12 @@ def lanczos_max_eig(A: Callable, n: int, steps: int = 8, key=None,
             beta = beta_new
         return alphas, betas
 
-    alphas, betas = jax.jit(run)(key)
+    # constants hoisted: at 16M+ dofs the operator closure captures
+    # O(100 MB) arrays (stencil weights, diagonals) that must not be baked
+    # into this setup program's compile payload
+    from ..utils.hoist import jit_hoisted
+
+    alphas, betas = jit_hoisted(run, (key,))(key)
     alphas = np.asarray(alphas)
     betas = np.asarray(betas)
     T = np.diag(alphas)
