@@ -66,11 +66,13 @@ def main():
     dofs = prob.space.n_dofs
     value = dofs * max(iters, 1) / dt / 1e6
 
-    # secondary kernel metric: background stiffness apply bandwidth (the
+    # secondary kernel metric: the production constrained stiffness apply
+    # (fused Dirichlet-masked Pallas stencil — the solver's actual hot op;
     # SpMV GB/s north-star, BASELINE.md)
     import jax.numpy as jnp
 
-    k_mv = jax.jit(prob._k_apply(prob.space, prob.K))
+    k_mv = jax.jit(prob._fused_masked_k(prob.space) or
+                   prob._k_apply(prob.space, prob.K))
     xx = jnp.ones(dofs, jnp.float32)
     jax.block_until_ready(k_mv(xx))
     t0 = time.perf_counter()

@@ -224,7 +224,11 @@ class ImmersedLaplaceProblem:
     def _kg_inv(self, reduction=1e-13):
         """Tight GMG-preconditioned CG inverse of the constrained K — the
         UMFPACK/AMG-exact-inverse stand-in."""
-        K_c = constrain(self.K.as_linop(), self.free)
+        fused = self._fused_masked_k(self.space)
+        if fused is not None:
+            K_c = LinOp(fused, self.K.shape, fused, name="K_c")
+        else:
+            K_c = constrain(self.K.as_linop(), self.free)
         gmg = build_gmg(self.space, self._factory_k, free_mask=self.free)
 
         def K_inv(v):
@@ -265,9 +269,49 @@ class ImmersedLaplaceProblem:
             return LatticeOps.for_space(sp).laplace_diag()
         return K_cm.diag()
 
+    def _fused_masked_k(self, sp):
+        """Single-pass constrained stiffness apply on flat dof vectors:
+        ``m*K(m*x) + (1-m)*x`` fused into one HBM round trip (Pallas kernel
+        ops.pallas_kernels.masked_laplace_2d; XLA fallback off-TPU).  None
+        when not applicable (non-lattice space, partial Dirichlet sides,
+        disabled for the SPMD-sharded program where a custom kernel would
+        block GSPMD partitioning)."""
+        if not getattr(self, "_fused_enabled", True):
+            return None
+        if not self._is_lattice(sp) or sp.grid.dim != 2:
+            return None
+        if set(self.cfg.dirichlet_ids) != {0, 1, 2, 3}:
+            return None
+        from ..ops.pallas_kernels import masked_laplace_2d
+        from ..parallel.lattice import LatticeOps, flat_to_lattice, to_flat
+
+        lat = LatticeOps.for_space(sp)
+        f2 = masked_laplace_2d(lat.h, lat.shape)
+        shape = sp.n_points_1d
+
+        def mv(x):
+            return to_flat(f2(flat_to_lattice(x, shape)))
+
+        return mv
+
+    def _masked_wrap(self, sp, apply):
+        """m * apply(m * x) with the Dirichlet mask of ``sp`` — makes the AL
+        term consistent with the fused masked stiffness (the wheres fuse into
+        the neighboring ops in XLA)."""
+        m = self.free if sp is self.space else jnp.asarray(
+            ~sp.boundary_dof_mask(list(self.cfg.dirichlet_ids)))
+
+        def mv(x):
+            return jnp.where(m, apply(jnp.where(m, x, 0.0)), 0.0)
+
+        return mv
+
     def _factory_k(self, sp):
         K = self.K if sp is self.space else laplace_matrix(
             sp, order=self.cfg.embedding_space_degree + 1)
+        fused = self._fused_masked_k(sp)
+        if fused is not None:
+            return self._k_apply(sp, K), self._k_diag(sp, K), fused
         return self._k_apply(sp, K), self._k_diag(sp, K)
 
     def _c_linops(self):
@@ -434,7 +478,11 @@ class ImmersedLaplaceProblem:
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        run = self._augmented_run()
+        self._fused_enabled = False  # GSPMD cannot partition a custom kernel;
+        try:                         # the sharded program uses XLA stencils
+            run = self._augmented_run()
+        finally:
+            self._fused_enabled = True
         axes = tuple(mesh.axis_names)
         vec = NamedSharding(mesh, P(axes))   # background dof vector: blocked
         rep = NamedSharding(mesh, P())       # immersed side: replicated
@@ -506,8 +554,21 @@ class ImmersedLaplaceProblem:
                     sp, self.imm_space, cfg.coupling_quadrature_order)
                 return Cl.compact_al(gamma, w_diag)
 
-        Aug_raw = K_lin + LinOp(*_unpack((AL, None), self.space.n_dofs))
-        Aug = constrain(Aug_raw, self.free)
+        al_apply_fine = AL.mv if hasattr(AL, "mv") else AL
+        fused_fine = self._fused_masked_k(self.space)
+        if fused_fine is not None:
+            # fused masked stiffness + masked AL: identical semantics to
+            # constrain(K + AL, free) in one stencil pass + the patch term
+            al_m = self._masked_wrap(self.space, al_apply_fine)
+
+            def aug_mv(x):
+                return fused_fine(x) + al_m(x)
+
+            n = self.space.n_dofs
+            Aug = LinOp(aug_mv, (n, n), aug_mv, name="Aug")
+        else:
+            Aug_raw = K_lin + LinOp(*_unpack((AL, None), self.space.n_dofs))
+            Aug = constrain(Aug_raw, self.free)
 
         def aug_op_factory(sp):
             K_l = self.K if sp is self.space else laplace_matrix(
@@ -519,7 +580,17 @@ class ImmersedLaplaceProblem:
             def mv(x):
                 return k_apply(x) + al_apply(x)
 
-            return mv, self._k_diag(sp, K_l) + al_diag
+            diag = self._k_diag(sp, K_l) + al_diag
+            fused_k = None if cfg.use_bf16_multigrid else \
+                self._fused_masked_k(sp)
+            if fused_k is not None:
+                al_m_l = self._masked_wrap(sp, al_apply)
+
+                def fused_mv(x, fused_k=fused_k, al_m_l=al_m_l):
+                    return fused_k(x) + al_m_l(x)
+
+                return mv, diag, fused_mv
+            return mv, diag
 
         gmg = build_gmg(self.space, aug_op_factory, free_mask=self.free,
                         dtype=jnp.bfloat16 if cfg.use_bf16_multigrid else None)

@@ -229,12 +229,22 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
                 else np.ones(sp.n_dofs, dtype=bool)
             m = np.tile(m, n_comp)
             mask = jnp.asarray(m)
-        mv_raw, diag = op_factory(sp)
+        res = op_factory(sp)
+        mv_raw, diag = res[0], res[1]
+        # optional third element: a FUSED masked apply with the exact same
+        # semantics as the wrap below (m*A(m*x) + (1-m)*x) — the Pallas
+        # single-pass stencil kernel on TPU lattices (ops.pallas_kernels)
+        fused = res[2] if len(res) > 2 else None
         dt = dtype or diag.dtype
         maskf = mask.astype(dt)
 
-        def mv(x, mv_raw=mv_raw, maskf=maskf, dt=dt):
-            return (maskf * mv_raw(maskf * x) + (1.0 - maskf) * x).astype(dt)
+        if fused is not None:
+            def mv(x, fused=fused, dt=dt):
+                return fused(x).astype(dt)
+        else:
+            def mv(x, mv_raw=mv_raw, maskf=maskf, dt=dt):
+                return (maskf * mv_raw(maskf * x) +
+                        (1.0 - maskf) * x).astype(dt)
 
         diag_inv = jnp.where(mask, 1.0 / diag, 1.0).astype(dt)
         # Lanczos eigenvalue estimation needs more precision than bf16 keeps
