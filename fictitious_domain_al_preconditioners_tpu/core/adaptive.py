@@ -25,9 +25,13 @@ Design (TPU-first):
   (clamping preserves 2:1 balance), down to the uniform base grid — so the
   GMG hierarchy that replaces ML-AMG extends to locally refined meshes.
 
-2D (quadtree) only: the reference exercises ``delta_refinement`` on 2D
-backgrounds; 3D (octree face+edge constraints) falls back to global
-refinement (see models.stokes docstring).
+Dimensions: 2D quadtree AND 3D octree.  In 3D the balance pass uses full
+26-connectivity (faces + edges + vertices), which guarantees every hanging
+node lies on a face against a neighbor exactly one level coarser — so the
+face-based constraint discovery (tensor-product tangential Lagrange weights)
+covers edge- and vertex-hanging nodes via the node dedup, with no separate
+edge-constraint machinery (the role deal.II's AffineConstraints plays for
+``stokes_immersed_boundary.cc:472-483``'s near-sphere refinement).
 """
 
 from __future__ import annotations
@@ -202,22 +206,35 @@ class AdaptiveGrid:
                             np.concatenate([keep_l, ch_l]),
                             np.concatenate([keep_ij, ch_ij]))
 
+    def _balance_offsets(self):
+        """Neighbor offsets checked during 2:1 balancing.  2D: the 4 face
+        neighbors (hanging nodes on a coarse edge endpoint coincide with
+        coarse vertices, so face balance suffices).  3D: full 26-connectivity
+        (faces + edges + vertices) so every hanging node lies on a face
+        against a neighbor exactly one level coarser — which is what the
+        face-based constraint discovery in AdaptiveSpace requires."""
+        if self.dim == 2:
+            offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        else:
+            offs = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
+                    for c in (-1, 0, 1) if (a, b, c) != (0, 0, 0)]
+        return np.asarray(offs, dtype=np.int64)
+
     def _balance(self) -> "AdaptiveGrid":
         g = self
+        offsets = self._balance_offsets()
         while True:
             flags = np.zeros(g.n_cells, dtype=bool)
             for l in range(g.max_level, 1, -1):
                 sel = np.flatnonzero(g.levels == l)
                 if len(sel) == 0:
                     continue
-                for d in range(g.dim):
-                    for step in (-1, 1):
-                        nij = g.ij[sel].copy()
-                        nij[:, d] += step
-                        inside = (nij[:, d] >= 0) & (nij[:, d] < (1 << l))
-                        idx, lvl = g.find_leaf(l, nij[inside])
-                        bad = (idx >= 0) & (lvl < l - 1)
-                        flags[idx[bad]] = True
+                for off in offsets:
+                    nij = g.ij[sel] + off[None, :]
+                    inside = np.all((nij >= 0) & (nij < (1 << l)), axis=1)
+                    idx, lvl = g.find_leaf(l, nij[inside])
+                    bad = (idx >= 0) & (lvl < l - 1)
+                    flags[idx[bad]] = True
             if not flags.any():
                 return g
             g = g._split(flags)
@@ -274,7 +291,7 @@ class AdaptiveSpace:
     points, used by the coupling kernel and multigrid prolongation)."""
 
     def __init__(self, grid: AdaptiveGrid, degree: int):
-        assert grid.dim == 2, "adaptive refinement: 2D (quadtree) only"
+        assert grid.dim in (2, 3), "adaptive refinement: quadtree/octree"
         self.grid = grid
         self.fe = FE(grid.dim, degree, True)
         self._setup_nodes()
@@ -309,13 +326,14 @@ class AdaptiveSpace:
         constraints: dict[int, list] = {}
 
         for d in range(g.dim):
-            t = 1 - d  # the single tangential dimension (2D)
-            # local node orderings of the two faces, sorted along the tangent
+            tdims = [t for t in range(g.dim) if t != d]  # tangential dims
             for side in (0, 1):
                 face_loc = np.flatnonzero(mi[:, d] == (k if side else 0))
-                face_loc = face_loc[np.argsort(mi[face_loc, t])]
                 opp_loc = np.flatnonzero(mi[:, d] == (0 if side else k))
-                opp_loc = opp_loc[np.argsort(mi[opp_loc, t])]
+                # sort masters lexicographically over the tangential dims
+                # (first tangential dim slowest) to match the weight layout
+                opp_loc = opp_loc[np.lexsort(
+                    tuple(mi[opp_loc, t] for t in reversed(tdims)))]
                 # leaves whose (d, side) face neighbor is coarser
                 lv = g.levels.astype(np.int64)
                 nij = g.ij.copy()
@@ -327,12 +345,18 @@ class AdaptiveSpace:
                 for c, nb in zip(cand[coarse], nidx[coarse]):
                     slaves = self._cell_nodes[c][face_loc]
                     masters = self._cell_nodes[nb][opp_loc]
-                    # tangential position of each slave node on the coarse
-                    # edge, in the coarse cell's reference coords
-                    ht = g.h_of_level(int(g.levels[nb]))[t]
-                    o_t = g.origin[t] + g.ij[nb][t] * ht
-                    tt = (self._node_pos[slaves][:, t] - o_t) / ht
-                    wts = lagrange_values_1d(fe.nodes_1d, tt)  # (k+1, k+1)
+                    # tangential positions of each slave node on the coarse
+                    # face, in the coarse cell's reference coords; the face
+                    # interpolation weight is the tensor product of the 1D
+                    # Lagrange values per tangential dim
+                    hnb = g.h_of_level(int(g.levels[nb]))
+                    wts = np.ones((len(slaves), 1))
+                    for t in tdims:
+                        o_t = g.origin[t] + g.ij[nb][t] * hnb[t]
+                        tt = (self._node_pos[slaves][:, t] - o_t) / hnb[t]
+                        w1 = lagrange_values_1d(fe.nodes_1d, tt)  # (ns, k+1)
+                        wts = (wts[:, :, None] * w1[:, None, :]).reshape(
+                            len(slaves), -1)
                     for s_id, w in zip(slaves, wts):
                         # coincident with a coarse node -> same dof (merged
                         # by the node dedup), not hanging

@@ -93,6 +93,9 @@ class ImmersedLaplaceConfig:
     # V-cycle in bfloat16 — a preconditioner serving a 1e-2 inner tolerance
     # doesn't need more, and bf16 halves the smoother's HBM traffic
     use_bf16_multigrid: bool = False
+    # GMG Chebyshev smoother degree (stencil applies per pre/post sweep);
+    # trades V-cycle cost against inner-CG iteration counts
+    gmg_smoother_degree: int = 4
 
     @classmethod
     def from_prm(cls, text_or_path) -> "ImmersedLaplaceConfig":
@@ -269,7 +272,7 @@ class ImmersedLaplaceProblem:
             return LatticeOps.for_space(sp).laplace_diag()
         return K_cm.diag()
 
-    def _fused_masked_k(self, sp):
+    def _fused_masked_k(self, sp, dtype=None):
         """Single-pass constrained stiffness apply on flat dof vectors:
         ``m*K(m*x) + (1-m)*x`` fused into one HBM round trip (Pallas kernel
         ops.pallas_kernels.masked_laplace_2d; XLA fallback off-TPU).  None
@@ -286,7 +289,7 @@ class ImmersedLaplaceProblem:
         from ..parallel.lattice import LatticeOps, flat_to_lattice, to_flat
 
         lat = LatticeOps.for_space(sp)
-        f2 = masked_laplace_2d(lat.h, lat.shape)
+        f2 = masked_laplace_2d(lat.h, lat.shape, dtype=dtype)
         shape = sp.n_points_1d
 
         def mv(x):
@@ -581,8 +584,8 @@ class ImmersedLaplaceProblem:
                 return k_apply(x) + al_apply(x)
 
             diag = self._k_diag(sp, K_l) + al_diag
-            fused_k = None if cfg.use_bf16_multigrid else \
-                self._fused_masked_k(sp)
+            fused_k = self._fused_masked_k(
+                sp, dtype=jnp.bfloat16 if cfg.use_bf16_multigrid else None)
             if fused_k is not None:
                 al_m_l = self._masked_wrap(sp, al_apply)
 
@@ -593,6 +596,7 @@ class ImmersedLaplaceProblem:
             return mv, diag
 
         gmg = build_gmg(self.space, aug_op_factory, free_mask=self.free,
+                        smoother_degree=cfg.gmg_smoother_degree,
                         dtype=jnp.bfloat16 if cfg.use_bf16_multigrid else None)
 
         def aug_inv(v):

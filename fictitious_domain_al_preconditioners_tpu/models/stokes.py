@@ -196,14 +196,7 @@ class StokesProblem:
         cfg = self.cfg
         sd = cfg.spacedim
         with self.timer.scope("Setup grids and dofs"):
-            # background unit cube, colorized (stokes_immersed_boundary.cc:417).
-            # delta_refinement is realized as global refinement here (same
-            # near-Γ resolution); the quadtree local-refinement path
-            # (core.adaptive, used by immersed_laplace) covers scalar 2D
-            # spaces — extending it to the vector Taylor-Hood pair is tracked
-            # as future work.
-            self.grid = UniformGrid.hyper_cube(
-                sd, 0.0, 1.0, cfg.initial_refinement + cfg.delta_refinement)
+            # immersed mesh first (its support points drive delta_refinement)
             if sd == 2:
                 conf = ParsedFunction(*cfg.embedded_configuration)
 
@@ -218,16 +211,40 @@ class StokesProblem:
                 # (stokes_immersed_boundary.cc:427)
                 self.imm_mesh = hyper_sphere([0.5, 0.5, 0.5], 0.1,
                                              cfg.initial_embedded_refinement)
-            if sd == 2 and self.imm_mesh.h_max >= self.grid.cell_diameter:
+
+            # background unit cube, colorized (stokes_immersed_boundary.cc:417).
+            # delta_refinement > 0: local refinement near Γ on a 2:1-balanced
+            # quadtree/octree with hanging nodes folded into the element dof
+            # maps (core.adaptive — stokes_immersed_boundary.cc:472-483);
+            # Taylor-Hood only (DGP pressure keeps the global-refine fallback).
+            self._adaptive = cfg.delta_refinement > 0 and \
+                not cfg.use_disc_pressure
+            if self._adaptive:
+                from ..core.adaptive import AdaptiveGrid, AdaptiveSpace
+
+                agrid = AdaptiveGrid.uniform(sd, cfg.initial_refinement)
+                support = self.imm_mesh.space(
+                    max(cfg.embedded_space_degree, 1)).dof_points
+                for _ in range(cfg.delta_refinement):
+                    agrid = agrid.refine_near(support)
+                self.grid = agrid
+                self.vel_space = AdaptiveSpace(agrid, cfg.velocity_degree)
+                self.p_space = AdaptiveSpace(agrid, cfg.velocity_degree - 1)
+                h_min_diam = agrid.min_cell_diameter
+            else:
+                self.grid = UniformGrid.hyper_cube(
+                    sd, 0.0, 1.0, cfg.initial_refinement + cfg.delta_refinement)
+                self.vel_space = GridSpace.q(self.grid, cfg.velocity_degree)
+                if cfg.use_disc_pressure:
+                    assert cfg.velocity_degree == 2, "not a stable pair!"
+                    self.p_space = GridSpace.dgp(self.grid, 1)
+                else:
+                    self.p_space = GridSpace.q(self.grid,
+                                               cfg.velocity_degree - 1)
+                h_min_diam = self.grid.cell_diameter
+            if sd == 2 and self.imm_mesh.h_max >= h_min_diam:
                 raise ValueError("mesh-size compatibility violated "
                                  "(stokes_immersed_boundary.cc:497-503)")
-
-            self.vel_space = GridSpace.q(self.grid, cfg.velocity_degree)
-            if cfg.use_disc_pressure:
-                assert cfg.velocity_degree == 2, "not a stable pair!"
-                self.p_space = GridSpace.dgp(self.grid, 1)
-            else:
-                self.p_space = GridSpace.q(self.grid, cfg.velocity_degree - 1)
             self.mult_space = self.imm_mesh.space(
                 max(cfg.embedded_space_degree, 0),
                 continuous=cfg.embedded_space_degree > 0)
@@ -235,16 +252,8 @@ class StokesProblem:
         nu = self.vel_space.n_dofs
         with self.timer.scope("Assemble Stokes"):
             order = cfg.velocity_degree + 2
-            gd = cfg.al.gamma_grad_div if cfg.al.grad_div_stabilization else None
-            a_local = velocity_block_local(self.vel_space.fe, self.grid.h,
-                                           order, gd)
-            vdofs = vector_cell_dofs(self.vel_space, sd)
-            self.A = CellMatrix(vdofs, vdofs, a_local, (nu * sd, nu * sd))
-            b_local = divergence_block_local(self.p_space.fe,
-                                             self.vel_space.fe, self.grid.h,
-                                             order)
-            self.B = CellMatrix(self.p_space.cell_dofs, vdofs, b_local,
-                                (self.p_space.n_dofs, nu * sd))
+            self.A = self._vel_block(self.vel_space)
+            self.B = self._div_block()
             self.Mp = mass_matrix(self.p_space, order=order)
             # vector body force on velocity dofs
             bf = ParsedFunction(*cfg.body_force)
@@ -274,6 +283,43 @@ class StokesProblem:
         return self
 
     # -- helpers ------------------------------------------------------------
+
+    def _vel_block(self, sp) -> CellMatrix:
+        """Velocity block (grad-div-stabilized or symgrad) on a level space —
+        shared local on uniform grids, per-level folded locals on adaptive
+        (hanging-node) spaces."""
+        cfg = self.cfg
+        sd = cfg.spacedim
+        order = cfg.velocity_degree + 2
+        gd = cfg.al.gamma_grad_div if cfg.al.grad_div_stabilization else None
+        if hasattr(sp, "fold_w"):
+            from ..ops.assembly import adaptive_vector_cell_matrix
+
+            return adaptive_vector_cell_matrix(
+                sp, lambda h: velocity_block_local(sp.fe, h, order, gd), sd)
+        a_local = velocity_block_local(sp.fe, sp.grid.h, order, gd)
+        vdofs = vector_cell_dofs(sp, sd)
+        n = sp.n_dofs
+        return CellMatrix(vdofs, vdofs, a_local, (n * sd, n * sd))
+
+    def _div_block(self) -> CellMatrix:
+        """B = -(div u, q) on the background pair."""
+        cfg = self.cfg
+        sd = cfg.spacedim
+        order = cfg.velocity_degree + 2
+        if hasattr(self.vel_space, "fold_w"):
+            from ..ops.assembly import adaptive_mixed_cell_matrix
+
+            return adaptive_mixed_cell_matrix(
+                self.p_space, self.vel_space,
+                lambda h: divergence_block_local(self.p_space.fe,
+                                                 self.vel_space.fe, h, order),
+                sd)
+        b_local = divergence_block_local(self.p_space.fe, self.vel_space.fe,
+                                         self.grid.h, order)
+        vdofs = vector_cell_dofs(self.vel_space, sd)
+        return CellMatrix(self.p_space.cell_dofs, vdofs, b_local,
+                          (self.p_space.n_dofs, self.vel_space.n_dofs * sd))
 
     def _condensed(self, op: LinOp) -> LinOp:
         """Zero the constrained-velocity columns of a rectangular operator
@@ -384,11 +430,7 @@ class StokesProblem:
         gd = cfg.al.gamma_grad_div if cfg.al.grad_div_stabilization else None
 
         def factory(sp):
-            nu_l = sp.n_dofs
-            a_loc = velocity_block_local(sp.fe, sp.grid.h,
-                                         cfg.velocity_degree + 2, gd)
-            vd = vector_cell_dofs(sp, sd)
-            A_l = CellMatrix(vd, vd, a_loc, (nu_l * sd, nu_l * sd))
+            A_l = self.A if sp is self.vel_space else self._vel_block(sp)
             diag = A_l.diag()
             mv = A_l.mv
             if with_al:

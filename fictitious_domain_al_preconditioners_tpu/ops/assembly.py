@@ -243,7 +243,16 @@ def _adaptive_rhs(space: AdaptiveSpace, fn, order: int):
     rule, pts, jxw = _adaptive_quad(space, order)
     tab = space.fe.tabulate(rule.points)                    # (nq, nloc)
     nc, nq, dim = pts.shape
-    fv = np.asarray(fn(pts.reshape(-1, dim))).reshape(nc, nq)
+    fv = np.asarray(fn(pts.reshape(-1, dim)))
+    if fv.ndim == 2:                                        # vector fn
+        ncomp = fv.shape[1]
+        fv = fv.reshape(nc, nq, ncomp)
+        be = np.einsum("cqk,qa,cq->cak", fv, tab, jxw)
+        bf = np.einsum("cak,caK->cKk", be, space.fold_w)
+        out = np.zeros((space.n_dofs, ncomp))
+        np.add.at(out, space.cell_dofs, bf)
+        return jnp.asarray(out)
+    fv = fv.reshape(nc, nq)
     be = np.einsum("cq,qa,cq->ca", fv, tab, jxw)
     bf = np.einsum("ca,caK->cK", be, space.fold_w)          # fold constraints
     out = np.zeros(space.n_dofs)
@@ -402,6 +411,48 @@ def vector_cell_dofs(space: GridSpace, n_comp: int) -> np.ndarray:
     n = space.n_dofs
     cd = space.cell_dofs
     return np.concatenate([cd + c * n for c in range(n_comp)], axis=1)
+
+
+def adaptive_vector_cell_matrix(space, local_fn, n_comp: int) -> CellMatrix:
+    """Vector-valued operator on an :class:`AdaptiveSpace`: per-level shared
+    local matrices ``local_fn(h) -> (nloc*n_comp, nloc*n_comp)`` folded
+    through the component-blocked hanging-node constraint fold — extends the
+    scalar ``_adaptive_cell_matrix`` pattern to the Stokes/elasticity blocks
+    (near-Γ local refinement, stokes_immersed_boundary.cc:472-483)."""
+    g = space.grid
+    per_level = {int(l): local_fn(g.h_of_level(int(l)))
+                 for l in np.unique(g.levels)}
+    L = np.stack([per_level[int(l)] for l in g.levels])
+    W = space.fold_w                     # (nc, nloc, K)
+    nc, nloc, K = W.shape
+    Wv = np.zeros((nc, n_comp * nloc, n_comp * K))
+    for c in range(n_comp):
+        Wv[:, c * nloc:(c + 1) * nloc, c * K:(c + 1) * K] = W
+    folded = np.einsum("caM,cab,cbN->cMN", Wv, L, Wv, optimize=True)
+    vd = vector_cell_dofs(space, n_comp)
+    n = space.n_dofs
+    return CellMatrix(vd, vd, folded, (n * n_comp, n * n_comp))
+
+
+def adaptive_mixed_cell_matrix(row_space, col_space, local_fn,
+                               n_comp_col: int) -> CellMatrix:
+    """Mixed block (scalar adaptive rows x vector adaptive cols, e.g. the
+    Stokes divergence B) with both constraint folds applied:
+    ``local_fn(h) -> (nloc_row, nloc_col*n_comp_col)``."""
+    g = row_space.grid
+    per_level = {int(l): local_fn(g.h_of_level(int(l)))
+                 for l in np.unique(g.levels)}
+    L = np.stack([per_level[int(l)] for l in g.levels])
+    Wp = row_space.fold_w                # (nc, nloc_p, Kp)
+    Wu = col_space.fold_w                # (nc, nloc_u, Ku)
+    nc, nloc_u, Ku = Wu.shape
+    Wv = np.zeros((nc, n_comp_col * nloc_u, n_comp_col * Ku))
+    for c in range(n_comp_col):
+        Wv[:, c * nloc_u:(c + 1) * nloc_u, c * Ku:(c + 1) * Ku] = Wu
+    folded = np.einsum("caP,cab,cbN->cPN", Wp, L, Wv, optimize=True)
+    cols = vector_cell_dofs(col_space, n_comp_col)
+    return CellMatrix(row_space.cell_dofs, cols, folded,
+                      (row_space.n_dofs, col_space.n_dofs * n_comp_col))
 
 
 def velocity_block_local(fe, h, order, grad_div_coef: float | None) -> np.ndarray:

@@ -184,38 +184,44 @@ def _masked_conv9_pallas(w, ny: int, nx: int, dtype, T: int = 256):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    T = min(T, max(8, (ny // 8) * 8))
+    import jax.numpy as jnp_
+
+    H = 16 if dtype == jnp_.bfloat16 else 8   # halo rows = sublane tile
+    T = min(T, max(H, (ny // H) * H))
     nb = -(-ny // T)
-    H = 8                      # halo block rows (f32/sublane tile)
     nhb = -(-ny // H)
     wf = [[float(w[a][b]) for b in range(3)] for a in range(3)]
+
+    # bf16 is a STORAGE dtype only: Mosaic has no sub-32-bit rotates, so
+    # all in-register arithmetic runs f32 (HBM traffic stays bf16-sized)
+    cd = jnp.float32 if dtype == jnp_.bfloat16 else dtype
 
     def kernel(mid_ref, up_ref, dn_ref, out_ref):
         i = pl.program_id(0)
         g0 = i * T
-        mid = mid_ref[:, :]
+        mid = mid_ref[:, :].astype(cd)
 
         rows = g0 + lax.broadcasted_iota(jnp.int32, (T, nx), 0)
         cols = lax.broadcasted_iota(jnp.int32, (T, nx), 1)
         in_row = (rows >= 1) & (rows <= ny - 2)
         in_col = (cols >= 1) & (cols <= nx - 2)
-        inmask = (in_row & in_col).astype(dtype)
+        inmask = (in_row & in_col).astype(cd)
 
         m_mid = mid * inmask
         # halo rows (global rows g0-1 / g0+T), input-masked like the interior
-        one = jnp.ones((), dtype)
-        zero = jnp.zeros((), dtype)
-        up_row = up_ref[H - 1, :] * jnp.where(g0 - 1 >= 1, one, zero)
-        dn_row = dn_ref[0, :] * jnp.where(g0 + T <= ny - 2, one, zero)
+        one = jnp.ones((), cd)
+        zero = jnp.zeros((), cd)
+        up_row = up_ref[H - 1, :].astype(cd) * jnp.where(g0 - 1 >= 1, one, zero)
+        dn_row = dn_ref[0, :].astype(cd) * jnp.where(g0 + T <= ny - 2, one, zero)
         ccol = lax.broadcasted_iota(jnp.int32, (1, nx), 1)
-        cmask = ((ccol >= 1) & (ccol <= nx - 2)).astype(dtype)[0]
+        cmask = ((ccol >= 1) & (ccol <= nx - 2)).astype(cd)[0]
         up_row = up_row * cmask
         dn_row = dn_row * cmask
 
-        rq = lax.broadcasted_iota(jnp.int32, (T, nx), 0)
-        r_up = jnp.where(rq == 0, up_row[None, :], pltpu.roll(m_mid, 1, 0))
-        r_dn = jnp.where(rq == T - 1, dn_row[None, :],
-                         pltpu.roll(m_mid, T - 1, 0))
+        # halo stitching by sublane concatenation (bf16-safe: Mosaic has no
+        # bf16 sublane rotate on this target)
+        r_up = jnp.concatenate([up_row[None, :], m_mid[:T - 1, :]], axis=0)
+        r_dn = jnp.concatenate([m_mid[1:, :], dn_row[None, :]], axis=0)
 
         acc = None
         for di, r in ((0, r_up), (1, m_mid), (2, r_dn)):
@@ -224,7 +230,7 @@ def _masked_conv9_pallas(w, ny: int, nx: int, dtype, T: int = 256):
                 t = pltpu.roll(r, sh, 1) if sh else r
                 t = wf[di][dj] * t
                 acc = t if acc is None else acc + t
-        out_ref[:, :] = jnp.where(in_row & in_col, acc, mid)
+        out_ref[:, :] = jnp.where(in_row & in_col, acc, mid).astype(dtype)
 
     def apply(u):
         return pl.pallas_call(

@@ -213,3 +213,108 @@ def test_delta_refinement_e2e_augmented():
     # same finest h near Gamma -> same outer iteration count, fewer dofs
     assert pa.results["outer_iterations"] == pu.results["outer_iterations"]
     assert pa.space.n_dofs < pu.space.n_dofs
+
+
+class TestOctree3D:
+    """3D octree local refinement (stokes_immersed_boundary.cc:472-483's
+    near-sphere refinement): 26-connectivity balance + tensor-product face
+    constraints must make the folded space exactly conforming."""
+
+    def _grid(self):
+        from fictitious_domain_al_preconditioners_tpu.core.adaptive import (
+            AdaptiveGrid,
+        )
+
+        theta = np.linspace(0, np.pi, 20)
+        phi = np.linspace(0, 2 * np.pi, 40)
+        TH, PH = np.meshgrid(theta, phi)
+        pts = np.stack([0.5 + 0.25 * np.sin(TH) * np.cos(PH),
+                        0.5 + 0.25 * np.sin(TH) * np.sin(PH),
+                        0.5 + 0.25 * np.cos(TH)], axis=-1).reshape(-1, 3)
+        return AdaptiveGrid.uniform(3, 2).refine_near(pts), pts
+
+    def test_balance_26_connectivity(self):
+        g, _ = self._grid()
+        offs = g._balance_offsets()
+        assert len(offs) == 26
+        lv = g.levels.astype(np.int64)
+        for l in range(g.max_level, 1, -1):
+            sel = np.flatnonzero(g.levels == l)
+            for off in offs:
+                nij = g.ij[sel] + off[None, :]
+                inside = np.all((nij >= 0) & (nij < (1 << l)), axis=1)
+                idx, lvl = g.find_leaf(l, nij[inside])
+                assert not ((idx >= 0) & (lvl < l - 1)).any()
+
+    @pytest.mark.parametrize("degree", [1, 2])
+    def test_patch_test_exact_3d(self, degree):
+        from fictitious_domain_al_preconditioners_tpu.core.adaptive import (
+            AdaptiveSpace,
+        )
+
+        g, _ = self._grid()
+        sp = AdaptiveSpace(g, degree)
+        assert sp.n_constrained_cells > 0
+
+        def f(p):
+            out = 1.0 + 2 * p[:, 0] - 3 * p[:, 1] + 0.5 * p[:, 2]
+            if degree > 1:
+                out = out + p[:, 0] * p[:, 1] - p[:, 1] * p[:, 2]
+            return out
+
+        u = f(sp.dof_points)
+        rng = np.random.default_rng(0)
+        q = rng.uniform(0.05, 0.95, size=(300, 3))
+        dofs, phi = sp.tabulate_at(q)
+        interp = np.einsum("nK,nK->n", u[dofs], phi)
+        np.testing.assert_allclose(interp, f(q), atol=1e-11)
+
+
+def test_stokes3d_delta_refinement_matches_global():
+    """3D IBStokesAL with octree delta_refinement: same iterations and the
+    same velocity field (to discretization accuracy) as global refinement,
+    at fewer dofs (VERDICT r1 item 7)."""
+    from fictitious_domain_al_preconditioners_tpu.models.stokes import (
+        ALControl, StokesConfig, StokesProblem,
+    )
+
+    def make(init, delta):
+        cfg = StokesConfig(
+            spacedim=3, initial_refinement=init,
+            initial_embedded_refinement=1, delta_refinement=delta,
+            dirichlet_ids=(0, 1, 2, 3, 4, 5),
+            body_force=("1;0;0", ""), dirichlet_bc=("0;0;0;0", ""),
+            embedded_value=("-.1;.1;0", ""),
+            al=ALControl(grad_div_stabilization=True,
+                         inverse_diag_square=True))
+        cfg.outer.tolerance = 1e-6
+        p = StokesProblem(cfg)
+        p.setup()
+        p.solve()
+        return p
+
+    pa = make(2, 1)
+    pg = make(3, 0)
+    assert pa.results["converged"] and pg.results["converged"]
+    assert pa.results["dofs_background"] < pg.results["dofs_background"]
+
+    rng = np.random.default_rng(0)
+    q = rng.uniform(0.1, 0.9, size=(100, 3))
+
+    def eval_vel(p):
+        sp = p.vel_space
+        n = sp.n_dofs
+        if hasattr(sp, "tabulate_at"):
+            dofs, phi = sp.tabulate_at(q)
+        else:
+            cells, refs = sp.grid.locate(q)
+            phi = sp.fe.tabulate(refs)
+            dofs = sp.cell_dofs[cells]
+        return np.stack(
+            [np.einsum("nK,nK->n",
+                       np.asarray(p.u).reshape(3, n)[c][dofs], phi)
+             for c in range(3)], axis=1)
+
+    va, vg = eval_vel(pa), eval_vel(pg)
+    scale = np.abs(vg).max()
+    assert np.abs(va - vg).max() < 0.05 * scale
