@@ -48,43 +48,61 @@ def run(cfg):
 class TestRationalFlat:
     """f = 0, g = 1 on the circle (the tables/results.md:30-39 family)."""
 
-    def test_iterations_flat_under_refinement(self):
-        iters = []
-        for ref in (4, 5, 6):
+    GOLDEN = {4: 32, 5: 38, 6: 44}   # refs 7-9 measured: 42, 40, 42 (plateau)
+
+    def test_iterations_pinned(self):
+        """Exact golden per-refinement counts (+-2): a preconditioner
+        regression cannot hide behind slack bounds (VERDICT r1 weak #3).
+        Reference context: its committed table is 30,30,28,... (flat); ours
+        saturates at ~40-44 — the preconditioned spectrum is clean (positives
+        pinned at [1, 1.01], negative Schur block kappa ~30-100 improving
+        under refinement; see PARITY.md), the plateau difference is tracked.
+        """
+        for ref, want in self.GOLDEN.items():
             prob = run(config("rational", ref))
             assert prob.results["converged"]
-            iters.append(prob.results["outer_iterations"])
-        # near-flat at test sizes (reference: 30 -> 28 across 4000x DoF;
-        # ours saturates: 32, 38, 44 at refs 4-6, then 42 (ref 7), 40 (ref 8)
-        # — the pre-asymptotic bump decays, matching the tables' pattern)
-        assert iters[2] <= iters[0] + 15, iters
-        assert max(iters) < 80, iters
+            got = prob.results["outer_iterations"]
+            assert abs(got - want) <= 2, (ref, got, want)
 
 
 class TestALFlat:
-    def test_al_iterations_flat_f0_g1(self):
-        iters = []
-        for ref in (4, 5, 6):
+    GOLDEN_DIAG = {4: 20, 5: 28, 6: 28}    # W = diag(M)
+    GOLDEN_EXACT = {4: 16, 5: 17, 6: 18}   # W = M (exact inverse)
+
+    def test_al_pinned_diag_inverse(self):
+        for ref, want in self.GOLDEN_DIAG.items():
             prob = run(config("augmented", ref, use_operator_form=True,
                               use_diagonal_inverse=True))
             assert prob.results["converged"]
-            iters.append(prob.results["outer_iterations"])
-        assert iters[2] <= iters[0] + 10, iters
-        assert max(iters) < 60, iters
+            got = prob.results["outer_iterations"]
+            assert abs(got - want) <= 2, (ref, got, want)
+
+    def test_al_pinned_exact_inverse(self):
+        for ref, want in self.GOLDEN_EXACT.items():
+            prob = run(config("augmented", ref, use_operator_form=True,
+                              use_diagonal_inverse=False))
+            assert prob.results["converged"]
+            got = prob.results["outer_iterations"]
+            assert abs(got - want) <= 2, (ref, got, want)
 
 
 class TestElmanNegativeControl:
+    GOLDEN = {4: 7, 5: 10, 6: 13}
+
     def test_elman_converges_small_and_grows(self):
         """BFBt converges at small sizes but its counts grow monotonically
         under refinement (the reference tables show 15 -> 116 over 1k -> 4.2M
-        DoF; the divergence regime only appears at scale)."""
+        DoF; the divergence regime only appears at scale).  Pinned growth
+        curve over three sizes (VERDICT r1 weak #5)."""
         elman = []
-        for ref in (4, 5):
+        for ref, want in self.GOLDEN.items():
             cfg = config("ELMAN_triang", ref,
                          schur=SolverControlConfig(max_steps=400,
                                                    tolerance=1e-8,
                                                    reduction=1e-8))
             prob = run(cfg)
             assert prob.results["converged"]
-            elman.append(prob.results["outer_iterations"])
-        assert elman[1] >= elman[0], elman
+            got = prob.results["outer_iterations"]
+            assert abs(got - want) <= 1, (ref, got, want)
+            elman.append(got)
+        assert elman[0] < elman[1] < elman[2], elman

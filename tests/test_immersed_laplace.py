@@ -174,3 +174,42 @@ end
         assert res["converged"]
         # u == 1 on Gamma; interior plateau near 1
         assert prob.constraint_residual() < 1e-6
+
+
+class TestRefinedSolve:
+    """Mixed-precision iterative refinement to reference tolerances: the
+    host f64 reference apply (ops.host_ref) must reproduce the jitted
+    operator exactly, and solve_refined must drive the TRUE residual to the
+    reference's 1e-10..1e-12 'Schur solver control' targets (VERDICT r1
+    item 8; parameters/circle/*.prm)."""
+
+    def test_host_residual_matches_jitted(self):
+        from fictitious_domain_al_preconditioners_tpu.models.immersed_laplace import (
+            SolverControlConfig,
+        )
+        from fictitious_domain_al_preconditioners_tpu.ops.host_ref import (
+            HostAugmentedSystem,
+        )
+
+        prob = ImmersedLaplaceProblem(smooth_config(
+            use_operator_form=True, use_diagonal_inverse=True,
+            schur=SolverControlConfig(max_steps=1000, tolerance=1e-12,
+                                      reduction=1e-13)))
+        prob.setup()
+        u, lam, info = prob.solve()
+        host = HostAugmentedSystem(prob)
+        r0, r1 = host.residual(np.asarray(u, float), np.asarray(lam, float))
+        res = float(np.sqrt(r0 @ r0 + r1 @ r1))
+        jres = float(info.residual)
+        assert abs(res - jres) <= 1e-3 * max(jres, 1e-14), (res, jres)
+
+    def test_refinement_reaches_reference_tolerance(self):
+        prob = ImmersedLaplaceProblem(smooth_config(
+            use_operator_form=True, use_diagonal_inverse=True))
+        prob.cfg.schur.tolerance = 1e-8
+        prob.cfg.schur.reduction = 1e-8
+        prob.setup()
+        u, lam, hist = prob.solve_refined(tol_abs=1e-12)
+        assert prob.results["converged"]
+        assert hist[-1] <= 1e-12
+        assert prob.results["refine_steps"] <= 4
