@@ -213,3 +213,33 @@ class TestRefinedSolve:
         assert prob.results["converged"]
         assert hist[-1] <= 1e-12
         assert prob.results["refine_steps"] <= 4
+
+
+class TestUseDisplacement:
+    """``Use displacement in embedded interface``: the configuration is
+    identity + displacement (MappingQEulerian, immersed_laplace.cc:315-323)
+    vs the direct configuration map (MappingFEField).  The same circle
+    expressed both ways must give identical geometry and identical solves."""
+
+    def test_displacement_matches_direct(self):
+        direct = ImmersedLaplaceProblem(smooth_config(
+            use_operator_form=True, use_diagonal_inverse=True))
+        direct.setup()
+
+        disp = ImmersedLaplaceProblem(smooth_config(
+            use_operator_form=True, use_diagonal_inverse=True,
+            use_displacement=True,
+            embedded_configuration=(
+                "R*cos(2*pi*x)+Cx - x; R*sin(2*pi*x)+Cy",
+                "R=.2, Cx=.4, Cy=.4")))
+        disp.setup()
+
+        np.testing.assert_allclose(
+            np.asarray(disp.imm_space.dof_points),
+            np.asarray(direct.imm_space.dof_points), atol=1e-13)
+
+        u_d, lam_d, info_d = direct.solve()
+        u_e, lam_e, info_e = disp.solve()
+        assert int(info_d.iterations) == int(info_e.iterations)
+        np.testing.assert_allclose(np.asarray(u_e), np.asarray(u_d),
+                                   atol=1e-12)
