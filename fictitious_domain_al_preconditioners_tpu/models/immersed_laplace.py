@@ -86,6 +86,11 @@ class ImmersedLaplaceConfig:
     embedded_value: tuple = ("1", "")
     dirichlet_boundary: tuple = ("0", "")
     gamma: float = 10.0  # hardcoded in the reference (line 647)
+    # FGMRES basis size (deal.II max_basis_size 50, elliptic_interface.cc:863).
+    # HBM note: the basis V (restart+1, n) + flexible store Z (restart, n) cost
+    # ~(2*restart+1)*4n bytes f32 — at the 16.8M-dof row that is 6.8 GB of the
+    # v5e's 16 GB (measured to fit alongside the GMG hierarchy); lower this
+    # before raising the refinement further or running multiple solvers at once
     fgmres_restart: int = 50
     inner_max_steps: int = 100     # SolverControl control_lagrangian(100, 1e-2)
     inner_tolerance: float = 1e-2

@@ -178,7 +178,11 @@ def laplace_stencil_2d(h0: float, h1: float) -> SeparableStencil2D:
 MASKED_STENCIL_MIN_ROWS = 64  # below this the XLA fallback wins (setup cost)
 
 
-def _masked_conv9_pallas(w, ny: int, nx: int, dtype, T: int = 256):
+def _masked_conv9_pallas(factors, ny: int, nx: int, dtype, T: int = 256):
+    """``factors = (K0, M0, K1, M1)``: symmetric 3-point 1D operators of the
+    tensor-product stencil K0⊗M1 + M0⊗K1.  The separable common-subexpression
+    evaluation (2 vertical combinations, then 4 lane shifts) measures at the
+    pipeline's copy speed — the 9-term direct form costs ~35% more."""
     import jax.numpy as jnp
     from jax import lax
     from jax.experimental import pallas as pl
@@ -190,7 +194,7 @@ def _masked_conv9_pallas(w, ny: int, nx: int, dtype, T: int = 256):
     T = min(T, max(H, (ny // H) * H))
     nb = -(-ny // T)
     nhb = -(-ny // H)
-    wf = [[float(w[a][b]) for b in range(3)] for a in range(3)]
+    K0, M0, K1, M1 = [[float(v) for v in f] for f in factors]
 
     # bf16 is a STORAGE dtype only: Mosaic has no sub-32-bit rotates, so
     # all in-register arithmetic runs f32 (HBM traffic stays bf16-sized)
@@ -223,13 +227,15 @@ def _masked_conv9_pallas(w, ny: int, nx: int, dtype, T: int = 256):
         r_up = jnp.concatenate([up_row[None, :], m_mid[:T - 1, :]], axis=0)
         r_dn = jnp.concatenate([m_mid[1:, :], dn_row[None, :]], axis=0)
 
-        acc = None
-        for di, r in ((0, r_up), (1, m_mid), (2, r_dn)):
-            for dj in range(3):
-                sh = (1 - dj) % nx
-                t = pltpu.roll(r, sh, 1) if sh else r
-                t = wf[di][dj] * t
-                acc = t if acc is None else acc + t
+        vsum = r_up + r_dn
+        sk = K0[0] * vsum + K0[1] * m_mid
+        sm = M0[0] * vsum + M0[1] * m_mid
+        skl = pltpu.roll(sk, 1, 1)
+        skr = pltpu.roll(sk, nx - 1, 1)
+        sml = pltpu.roll(sm, 1, 1)
+        smr = pltpu.roll(sm, nx - 1, 1)
+        acc = (M1[1] * sk + M1[0] * (skl + skr) +
+               K1[1] * sm + K1[0] * (sml + smr))
         out_ref[:, :] = jnp.where(in_row & in_col, acc, mid).astype(dtype)
 
     def apply(u):
@@ -294,5 +300,5 @@ def masked_laplace_2d(h, shape, dtype=None):
     w = np.outer(K0, M1) + np.outer(M0, K1)
     dtype = dtype or jnp.zeros(0).dtype
     if jax.default_backend() == "tpu" and ny >= MASKED_STENCIL_MIN_ROWS:
-        return _masked_conv9_pallas(w, ny, nx, dtype)
+        return _masked_conv9_pallas((K0, M0, K1, M1), ny, nx, dtype)
     return _masked_conv9_xla(w, ny, nx, dtype)
