@@ -302,6 +302,42 @@ class ImmersedLaplaceProblem:
 
         return mv
 
+    def _fused_aug_mv(self, sp, coupling, gamma, dtype=None):
+        """Fully-fused constrained augmented apply on flat dof vectors:
+        ONE Pallas stencil pass for m*K(m*x)+(1-m)*x composed IN LATTICE SPACE
+        with the Γ-band AL patch added in place (region form of the particle
+        term, Dirichlet masking baked into the patch weights) — no
+        full-lattice zeros/update/mask passes.  Returns (mv, al_diag) or None.
+        """
+        if getattr(self, "_fused_enabled", True) is False:
+            return None
+        if not self._is_lattice(sp) or sp.grid.dim != 2:
+            return None
+        if set(self.cfg.dirichlet_ids) != {0, 1, 2, 3}:
+            return None
+        free_np = np.asarray(
+            self.free if sp is self.space
+            else ~sp.boundary_dof_mask(list(self.cfg.dirichlet_ids)))
+        region = coupling.patch_stencil_region(sp, gamma, free=free_np)
+        if region is None:
+            return None
+        from ..ops.pallas_kernels import masked_laplace_2d
+        from ..parallel.lattice import LatticeOps, flat_to_lattice
+
+        lat = LatticeOps.for_space(sp)
+        f2 = masked_laplace_2d(lat.h, lat.shape, dtype=dtype)
+        (r0, c0, pr, pc), region_mv, al_diag = region
+        shape = sp.n_points_1d
+
+        def mv(x):
+            x2 = flat_to_lattice(x, shape)
+            out2 = f2(x2)
+            out2 = out2.at[r0:r0 + pr, c0:c0 + pc].add(
+                region_mv(x2).astype(out2.dtype))
+            return out2.reshape(-1)
+
+        return mv, al_diag
+
     def _masked_wrap(self, sp, apply):
         """m * apply(m * x) with the Dirichlet mask of ``sp`` — makes the AL
         term consistent with the fused masked stiffness (the wheres fuse into
@@ -577,13 +613,17 @@ class ImmersedLaplaceProblem:
             # dense block otherwise.
             gamma = cfg.gamma / self.curve.h_max
 
-            def particle_al(sp):
-                Cp = build_coupling(sp, self.imm_space,
-                                    order=2 * cfg.embedding_space_degree + 1)
+            def particle_coupling(sp):
+                return build_coupling(sp, self.imm_space,
+                                      order=2 * cfg.embedding_space_degree + 1)
+
+            def particle_al(sp, Cp=None):
+                Cp = Cp or particle_coupling(sp)
                 st = Cp.patch_stencil_al(sp, gamma)
                 return st if st is not None else Cp.compact_al(gamma)
 
-            AL, al_diag_fine = particle_al(self.space)
+            Cp_fine = particle_coupling(self.space)
+            AL, al_diag_fine = particle_al(self.space, Cp_fine)
             inv_w = (inv_diag(self.M) if cfg.use_diagonal_inverse
                      else inv_exact(self.M))
 
@@ -591,6 +631,10 @@ class ImmersedLaplaceProblem:
                 if sp is self.space:
                     return AL, al_diag_fine
                 return particle_al(sp)
+
+            def fused_aug(sp, dtype=None):
+                Cp = Cp_fine if sp is self.space else particle_coupling(sp)
+                return self._fused_aug_mv(sp, Cp, gamma, dtype=dtype)
         else:
             gamma = cfg.gamma
             w_diag = 1.0 / np.asarray(self.M.diag()) ** 2
@@ -615,21 +659,33 @@ class ImmersedLaplaceProblem:
                     sp, self.imm_space, cfg.coupling_quadrature_order)
                 return Cl.compact_al(gamma, w_diag)
 
+            def fused_aug(sp, dtype=None):
+                return None  # explicit-form AL has no patch-region form
+
         al_apply_fine = AL.mv if hasattr(AL, "mv") else AL
-        fused_fine = self._fused_masked_k(self.space)
-        if fused_fine is not None:
-            # fused masked stiffness + masked AL: identical semantics to
-            # constrain(K + AL, free) in one stencil pass + the patch term
-            al_m = self._masked_wrap(self.space, al_apply_fine)
-
-            def aug_mv(x):
-                return fused_fine(x) + al_m(x)
-
+        fused_pair = fused_aug(self.space)
+        if fused_pair is not None:
+            # ONE Pallas pass + in-place patch add: identical semantics to
+            # constrain(K + AL, free)
+            aug_mv = fused_pair[0]
             n = self.space.n_dofs
             Aug = LinOp(aug_mv, (n, n), aug_mv, name="Aug")
         else:
-            Aug_raw = K_lin + LinOp(*_unpack((AL, None), self.space.n_dofs))
-            Aug = constrain(Aug_raw, self.free)
+            fused_fine = self._fused_masked_k(self.space)
+            if fused_fine is not None:
+                al_m = self._masked_wrap(self.space, al_apply_fine)
+
+                def aug_mv(x):
+                    return fused_fine(x) + al_m(x)
+
+                n = self.space.n_dofs
+                Aug = LinOp(aug_mv, (n, n), aug_mv, name="Aug")
+            else:
+                Aug_raw = K_lin + LinOp(*_unpack((AL, None),
+                                                 self.space.n_dofs))
+                Aug = constrain(Aug_raw, self.free)
+
+        gmg_dt = jnp.bfloat16 if cfg.use_bf16_multigrid else None
 
         def aug_op_factory(sp):
             K_l = self.K if sp is self.space else laplace_matrix(
@@ -642,8 +698,10 @@ class ImmersedLaplaceProblem:
                 return k_apply(x) + al_apply(x)
 
             diag = self._k_diag(sp, K_l) + al_diag
-            fused_k = self._fused_masked_k(
-                sp, dtype=jnp.bfloat16 if cfg.use_bf16_multigrid else None)
+            fp = fused_aug(sp, dtype=gmg_dt)
+            if fp is not None:
+                return mv, diag, fp[0]
+            fused_k = self._fused_masked_k(sp, dtype=gmg_dt)
             if fused_k is not None:
                 al_m_l = self._masked_wrap(sp, al_apply)
 

@@ -164,6 +164,59 @@ class Coupling:
         diag = jnp.zeros(n).at[uniqj].set(jnp.diagonal(Aj))
         return LinOp(mv, (n, n), mv, name="AL_compact"), diag
 
+    def patch_stencil_region(self, space, gamma: float, free=None):
+        """Region form of :meth:`patch_stencil_al` for fused composition:
+        returns ``(origin (r0, c0), region_mv(x2d) -> (pr, pc), diag)`` or
+        None.  ``region_mv`` reads only the patch+halo slice of the lattice
+        array and returns the AL contribution on the patch — the caller adds
+        it in place (``out2.at[r0:r1, c0:c1].add(...)``), avoiding the
+        full-lattice zeros/update/mask passes of the LinOp form.  ``free``
+        (bool mask over dofs) bakes Dirichlet input-masking into the weights:
+        region_mv(x) == m*AL(m*x) on the patch."""
+        import jax
+
+        if not (hasattr(space, "n_points_1d") and space.fe.degree == 1
+                and space.continuous):
+            return None
+        npts = space.n_points_1d
+        nx, ny = npts[0], npts[1]
+        dofs = np.asarray(self.bg_dofs)
+        rows = dofs // nx
+        cols = dofs % nx
+        r0, r1 = int(rows.min()), int(rows.max())
+        c0, c1 = int(cols.min()), int(cols.max())
+        if r0 < 1 or c0 < 1 or r1 > ny - 2 or c1 > nx - 2:
+            return None
+        pr, pc = r1 - r0 + 1, c1 - c0 + 1
+        phi = np.asarray(self.bg_phi)
+        if free is not None:
+            phi = phi * np.asarray(free, dtype=phi.dtype)[dofs]
+        jxw = np.asarray(self.jxw)
+        locmat = jxw[:, None, None] * phi[:, :, None] * phi[:, None, :]
+        w9 = np.zeros((3, 3, pr, pc))
+        for i in range(dofs.shape[1]):
+            for j in range(dofs.shape[1]):
+                dr = rows[:, j] - rows[:, i] + 1
+                dc = cols[:, j] - cols[:, i] + 1
+                np.add.at(w9, (dr, dc, rows[:, i] - r0, cols[:, i] - c0),
+                          locmat[:, i, j])
+        w9 = jnp.asarray(gamma * w9)
+
+        def region_mv(x2d):
+            up = jax.lax.dynamic_slice(x2d, (r0 - 1, c0 - 1),
+                                       (pr + 2, pc + 2))
+            acc = None
+            for a in range(3):
+                for b in range(3):
+                    term = w9[a, b].astype(x2d.dtype) * \
+                        jax.lax.dynamic_slice(up, (a, b), (pr, pc))
+                    acc = term if acc is None else acc + term
+            return acc
+
+        dg = np.zeros((ny, nx))
+        dg[r0:r1 + 1, c0:c1 + 1] = np.asarray(w9[1, 1])
+        return (r0, c0, pr, pc), region_mv, jnp.asarray(dg.reshape(-1))
+
     def patch_stencil_al(self, space, gamma: float):
         """Particle-form AL term as a *variable-coefficient 9-point lattice
         stencil on the Γ-band bounding patch*.
