@@ -633,8 +633,14 @@ class ImmersedLaplaceProblem:
                 return particle_al(sp)
 
             def fused_aug(sp, dtype=None):
-                Cp = Cp_fine if sp is self.space else particle_coupling(sp)
-                return self._fused_aug_mv(sp, Cp, gamma, dtype=dtype)
+                # The region composition (_fused_aug_mv: Pallas stencil +
+                # .at[patch].add) ABORTS the v5e runtime when the
+                # dynamic-update-slice consumes the pallas_call output inside
+                # the solve loops (reproduced at refs 10-12; the masked-wrap
+                # composition below measures the same 1.10s at 16.8M dofs, so
+                # nothing is lost).  Keep the region API for the masked
+                # weights; do not feed pallas outputs through DUS.
+                return None
         else:
             gamma = cfg.gamma
             w_diag = 1.0 / np.asarray(self.M.diag()) ** 2
