@@ -277,18 +277,33 @@ class ImmersedLaplaceProblem:
             return LatticeOps.for_space(sp).laplace_diag()
         return K_cm.diag()
 
+    # Minimum FINE-lattice extent for the Pallas fast path.  The kernel is
+    # validated end-to-end at fine ny = 4097 (repeated 16.8M-dof solves) and
+    # in isolation at every level shape, but full solves whose FINE lattice
+    # is 1025 deterministically abort the v5e runtime (Mosaic fault in the
+    # composed program; kernel-only and ref-12 programs containing the SAME
+    # 1025-level kernel are fine).  Gate per SOLVE: below this, the XLA
+    # separable path runs everywhere (those sizes solve in <0.3 s anyway).
+    FUSED_MIN_FINE_POINTS = 4097
+
     def _fused_masked_k(self, sp, dtype=None):
         """Single-pass constrained stiffness apply on flat dof vectors:
         ``m*K(m*x) + (1-m)*x`` fused into one HBM round trip (Pallas kernel
         ops.pallas_kernels.masked_laplace_2d; XLA fallback off-TPU).  None
         when not applicable (non-lattice space, partial Dirichlet sides,
-        disabled for the SPMD-sharded program where a custom kernel would
-        block GSPMD partitioning)."""
+        fine solve below FUSED_MIN_FINE_POINTS on TPU, or disabled for the
+        SPMD-sharded program where a custom kernel would block GSPMD
+        partitioning)."""
         if not getattr(self, "_fused_enabled", True):
             return None
         if not self._is_lattice(sp) or sp.grid.dim != 2:
             return None
         if set(self.cfg.dirichlet_ids) != {0, 1, 2, 3}:
+            return None
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu" and self._is_lattice(self.space) \
+                and max(self.space.n_points_1d) < self.FUSED_MIN_FINE_POINTS:
             return None
         from ..ops.pallas_kernels import masked_laplace_2d
         from ..parallel.lattice import LatticeOps, flat_to_lattice, to_flat
