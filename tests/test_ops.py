@@ -369,3 +369,39 @@ class TestKrylov:
         A, _, ev = _spd_problem(n=50)
         est = lanczos_max_eig(lambda v: A @ v, 50, steps=12)
         assert est == pytest.approx(ev.max(), rel=0.02)
+
+
+def test_patch_stencil_region_matches_linop():
+    """Region form of the particle AL term == the LinOp form on the patch,
+    and its masked weights reproduce m*AL(m*x)."""
+    import numpy as np
+    from fictitious_domain_al_preconditioners_tpu.core import (
+        GridSpace, UniformGrid, parametrized_curve,
+    )
+    from fictitious_domain_al_preconditioners_tpu.ops import build_coupling
+
+    def conf(pts):
+        s = pts[:, 0]
+        return np.stack([0.2 * np.cos(2 * np.pi * s) + 0.45,
+                         0.2 * np.sin(2 * np.pi * s) + 0.45], axis=1)
+
+    sp = GridSpace.q(UniformGrid.hyper_cube(2, 0.0, 1.0, 5), 1)
+    curve = parametrized_curve(conf, 5)
+    C = build_coupling(sp, curve.space(1), 3)
+    gamma = 123.0
+    AL, diag = C.patch_stencil_al(sp, gamma)
+    free = ~sp.boundary_dof_mask(None)
+    reg = C.patch_stencil_region(sp, gamma, free=free)
+    assert reg is not None
+    (r0, c0, pr, pc), region_mv, rdiag = reg
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(sp.n_dofs))
+    m = jnp.asarray(free)
+    want = jnp.where(m, AL(jnp.where(m, x, 0.0)), 0.0)
+    nx, ny = sp.n_points_1d
+    got2 = jnp.zeros((ny, nx), x.dtype).at[r0:r0 + pr, c0:c0 + pc].set(
+        region_mv(x.reshape(ny, nx)))
+    np.testing.assert_allclose(np.asarray(got2.reshape(-1)),
+                               np.asarray(want), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rdiag)[np.asarray(free)],
+                               np.asarray(diag)[np.asarray(free)], atol=1e-12)
