@@ -152,7 +152,80 @@ def fmt(rows):
     return "\n".join(out)
 
 
+ROWSPECS = [
+    ("laplace", "7"), ("laplace", "8"), ("laplace", "9"), ("laplace", "10"),
+    ("laplace", "11"), ("laplace", "12"),
+    ("refined", "9"), ("refined", "10"),
+    ("elliptic", "0"), ("elliptic", "1"), ("elliptic", "2"),
+    ("stokes", "4:5"), ("stokes", "5:6"), ("stokes", "6:7"),
+]
+
+
+def compute_row(kind, arg):
+    if kind == "laplace":
+        return laplace_rows([int(arg)])[0]
+    if kind == "refined":
+        return refined_rows([int(arg)])[0]
+    if kind == "elliptic":
+        return elliptic_rows(int(arg) + 1)[-1]
+    if kind == "stokes":
+        r, e = arg.split(":")
+        return stokes_rows([(int(r), int(e))])[0]
+    raise ValueError(kind)
+
+
+def orchestrate():
+    """One subprocess per row: a row that ABORTS the TPU runtime (the axon
+    worker shows shape-dependent faults even in plain XLA programs — e.g.
+    the Stokes (5,6) row) kills only its own session; the table annotates it
+    and moves on."""
+    import json
+    import subprocess
+
+    results = {}
+    for kind, arg in ROWSPECS:
+        cmd = [sys.executable, os.path.abspath(__file__), "--row",
+               f"{kind}:{arg}"]
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=2400)
+            line = [l for l in r.stdout.splitlines() if l.startswith("ROW ")]
+            if r.returncode == 0 and line:
+                results[(kind, arg)] = json.loads(line[-1][4:])
+                print(f"{kind}:{arg} -> {results[(kind, arg)]}", flush=True)
+            else:
+                results[(kind, arg)] = None
+                print(f"{kind}:{arg} FAILED rc={r.returncode} "
+                      f"{r.stderr[-200:]}", flush=True)
+        except subprocess.TimeoutExpired:
+            results[(kind, arg)] = None
+            print(f"{kind}:{arg} TIMEOUT", flush=True)
+    return results
+
+
+def fmt_with_failures(rows, formatter, failed_note):
+    ok = [tuple(r) for r in rows if r is not None]
+    n_failed = sum(1 for r in rows if r is None)
+    out = formatter(ok)
+    if n_failed:
+        out += f"\n\n{failed_note.format(n=n_failed)}"
+    return out
+
+
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--row":
+        kind, arg = sys.argv[2].split(":", 1)
+        import json
+
+        row = compute_row(kind, arg)
+        print("ROW " + json.dumps(list(row)))
+        return
+
+    results = orchestrate()
+
+    def get(kind, args):
+        return [results.get((kind, a)) for a in args]
+
     dev = str(jax.devices()[0])
     parts = [
         "# TPU results — h-independence of AL-preconditioned outer iterations",
@@ -164,7 +237,8 @@ def main():
         "",
         "## immersed_laplace, `augmented` (operator form, diag W), circle, smooth data",
         "",
-        fmt(laplace_rows([7, 8, 9, 10, 11, 12])),
+        fmt_with_failures(get("laplace", ["7", "8", "9", "10", "11", "12"]),
+                          fmt, "({n} row(s) aborted by a runtime fault)"),
         "",
         "## reference solve quality on TPU: 1e-10 absolute via iterative refinement",
         "",
@@ -173,15 +247,21 @@ def main():
         "the reference configs' `Schur solver control Tolerance = 1.e-10`",
         "regime (parameters/circle/*.prm), unreachable in plain f32.",
         "",
-        fmt_refined(refined_rows([9, 10])),
+        fmt_with_failures(get("refined", ["9", "10"]), fmt_refined,
+                          "({n} row(s) aborted by a runtime fault)"),
         "",
         "## elliptic_interface, modified AL, beta jump 1e3 (3 cycles)",
         "",
-        fmt(elliptic_rows(3)),
+        fmt_with_failures(get("elliptic", ["0", "1", "2"]), fmt,
+                          "({n} row(s) aborted by a runtime fault)"),
         "",
         "## stokes_immersed_boundary 2D, IBStokesAL (grad-div, diag mass)",
         "",
-        fmt(stokes_rows([(4, 5), (5, 6), (6, 7)])),
+        fmt_with_failures(get("stokes", ["4:5", "5:6", "6:7"]), fmt,
+                          "({n} row(s) aborted by a runtime fault on the "
+                          "tunneled v5e — plain XLA program, reproduced in "
+                          "isolation; passes on the CPU backend "
+                          "(tests/test_stokes.py))"),
         "",
     ]
     os.makedirs("tables", exist_ok=True)
