@@ -7,6 +7,17 @@ outer FGMRES iterations) / wall-clock, in MDoF-iter/s.  The reference publishes
 no wall-clock numbers (BASELINE.md: its metric is h-independent iteration
 counts, which tests/test_immersed_laplace.py regression-checks); vs_baseline
 compares against the value recorded in bench_baseline.json if present, else 1.0.
+
+Detail rows (VERDICT r2 #6):
+- the headline ref-12 (16.8M dof) solve,
+- a fixed-size ref-11 throughput row (regression-visible across rounds),
+- solve quality: one mixed-precision ``solve_refined`` run at the reference's
+  1e-10 tolerance (true f64 residual of the augmented system),
+- ``stiffness_apply_gbs``: the production constrained stiffness apply measured
+  the way the solver actually runs it — chained INSIDE one jitted program
+  (lax.fori_loop), slope-timed to exclude dispatch/readback latency.  The
+  round-2 number (63) timed 50 separate dispatches through the device tunnel
+  at ~1 ms RTT each, which measured the tunnel, not the kernel.
 """
 
 import json
@@ -21,19 +32,22 @@ import numpy as np
 # programs hoist their large closed-over constants to runtime arguments
 # (utils.hoist), so the compile payload stays KB-sized at any refinement.
 REFINEMENT = int(os.environ.get("BENCH_REFINEMENT", "12"))
+# second, fixed-size throughput row (round-1 measured 79.26 MDoF-iter/s here)
+REF_SMALL = int(os.environ.get("BENCH_REF_SMALL", "11"))
+# mixed-precision refinement to the reference's 1e-10 tolerance runs on the
+# REF_SMALL problem (amortizes its setup); BENCH_FAST=1 skips the extras
+FAST = os.environ.get("BENCH_FAST", "0") == "1"
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
 
-def main():
-    import jax
-
+def _build(refinement):
     from fictitious_domain_al_preconditioners_tpu.models import (
         ImmersedLaplaceConfig, ImmersedLaplaceProblem,
     )
 
     cfg = ImmersedLaplaceConfig(
-        initial_refinement=REFINEMENT,
-        initial_embedded_refinement=REFINEMENT,
+        initial_refinement=refinement,
+        initial_embedded_refinement=refinement,
         embedded_configuration=("R*cos(2*pi*x)+Cx; R*sin(2*pi*x)+Cy",
                                 "R=.2, Cx=.4, Cy=.4"),
         embedding_rhs=("8*pi^2*sin(2*pi*x)*sin(2*pi*y)", ""),
@@ -46,43 +60,103 @@ def main():
     # f32 on TPU: outer tolerance at single-precision-reachable level
     cfg.schur.tolerance = 3e-5
     cfg.schur.reduction = 1e-6
-
     prob = ImmersedLaplaceProblem(cfg)
     prob.setup()
+    return prob
 
-    # warmup (compile)
-    u, lam, info = prob.solve()
+
+def _timed_solve(prob):
+    import jax
+
+    u, lam, info = prob.solve()  # warmup (compile)
     jax.block_until_ready(u)
-    # timed run: the jitted solver itself — host-side telemetry pulls
-    # (info scalars -> Python) pay ~35ms tunnel RTT each and are NOT part
-    # of the solve
-    run = prob._solvers[cfg.solver]
+    run = prob._solvers[prob.cfg.solver]
     t0 = time.perf_counter()
     u, lam, info = run(prob.rhs_f, prob.rhs_g, prob.bc_values)
     jax.block_until_ready(u)
     dt = time.perf_counter() - t0
-
     iters = int(info.iterations)
+    prob._finalize(u, lam, info)
+    return dt, iters
+
+
+def _stiffness_gbs(prob):
+    """Slope-timed in-jit chained applies of the production constrained
+    stiffness (the solver's actual hot op; SpMV GB/s north star, BASELINE.md).
+    Traffic model: read + write the lattice once per apply."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    k_mv = (prob._fused_masked_k(prob.space) or
+            prob._k_apply(prob.space, prob.K))
+    dofs = prob.space.n_dofs
+    scale = jnp.float32(2.0 ** -15)  # keep the chained iterates finite
+
+    fs = []
+    for iters in (10, 60):
+        @jax.jit
+        def f(x, iters=iters):
+            return lax.fori_loop(0, iters, lambda i, v: k_mv(v) * scale, x)
+        fs.append(f)
+    x = jnp.ones(dofs, jnp.float32)
+    for f in fs:
+        _ = float(jnp.sum(f(x)))  # compile + force completion
+    ts = []
+    for f in fs:
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(f(x)))
+        ts.append(time.perf_counter() - t0)
+    per_apply = (ts[1] - ts[0]) / 50
+    return 2 * dofs * 4 / per_apply / 1e9
+
+
+def main():
+    import jax
+
+    detail = {"device": str(jax.devices()[0])}
+
+    prob = _build(REFINEMENT)
+    dt, iters = _timed_solve(prob)
     dofs = prob.space.n_dofs
     value = dofs * max(iters, 1) / dt / 1e6
+    detail.update(
+        dofs_background=dofs,
+        dofs_immersed=prob.imm_space.n_dofs,
+        outer_iterations=iters,
+        solve_seconds=round(dt, 3),
+        converged=bool(prob.results["converged"]),
+        constraint_residual=float(prob.constraint_residual()),
+        refinement=REFINEMENT,
+    )
+    detail["stiffness_apply_gbs"] = round(_stiffness_gbs(prob), 2)
+    del prob
 
-    # secondary kernel metric: the production constrained stiffness apply
-    # (fused Dirichlet-masked Pallas stencil — the solver's actual hot op;
-    # SpMV GB/s north-star, BASELINE.md)
-    import jax.numpy as jnp
-
-    k_mv = jax.jit(prob._fused_masked_k(prob.space) or
-                   prob._k_apply(prob.space, prob.K))
-    xx = jnp.ones(dofs, jnp.float32)
-    jax.block_until_ready(k_mv(xx))
-    t0 = time.perf_counter()
-    reps = 50
-    for _ in range(reps):
-        xx = k_mv(xx)
-    jax.block_until_ready(xx)
-    spmv_s = (time.perf_counter() - t0) / reps
-    # stencil traffic model: read + write the lattice once (f32)
-    spmv_gbs = 2 * dofs * 4 / spmv_s / 1e9
+    if not FAST:
+        small = _build(REF_SMALL)
+        dt_s, it_s = _timed_solve(small)
+        detail["ref_small"] = {
+            "refinement": REF_SMALL,
+            "dofs_background": small.space.n_dofs,
+            "outer_iterations": it_s,
+            "solve_seconds": round(dt_s, 3),
+            "throughput_mdof_iter_s": round(
+                small.space.n_dofs * max(it_s, 1) / dt_s / 1e6, 3),
+        }
+        # solve quality at the reference's tolerance (parameters/circle/*.prm
+        # 'Schur solver control Tolerance = 1e-10'): mixed-precision iterative
+        # refinement with true f64 residuals (VERDICT r2 missing #5)
+        t0 = time.perf_counter()
+        _, _, history = small.solve_refined(tol_abs=1e-10)
+        detail["refined"] = {
+            "refinement": REF_SMALL,
+            "residual": float(history[-1]),
+            "history": [float(f"{h:.3e}") for h in history],
+            "outer_iterations": int(small.results["outer_iterations"]),
+            "refine_steps": int(small.results["refine_steps"]),
+            "converged": bool(small.results["converged"]),
+            "seconds_incl_compile": round(time.perf_counter() - t0, 3),
+        }
 
     vs = 1.0
     if os.path.exists(BASELINE_FILE):
@@ -99,17 +173,7 @@ def main():
         "value": round(value, 3),
         "unit": "MDoF-iter/s",
         "vs_baseline": round(vs, 3),
-        "detail": {
-            "dofs_background": dofs,
-            "dofs_immersed": prob.imm_space.n_dofs,
-            "outer_iterations": iters,
-            "solve_seconds": round(dt, 3),
-            "converged": bool(info.converged),
-            "constraint_residual": float(prob.constraint_residual()),
-            "stiffness_apply_gbs": round(spmv_gbs, 2),
-            "refinement": REFINEMENT,
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }))
 
 

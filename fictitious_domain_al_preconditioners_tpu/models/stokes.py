@@ -215,12 +215,15 @@ class StokesProblem:
             # background unit cube, colorized (stokes_immersed_boundary.cc:417).
             # delta_refinement > 0: local refinement near Γ on a 2:1-balanced
             # quadtree/octree with hanging nodes folded into the element dof
-            # maps (core.adaptive — stokes_immersed_boundary.cc:472-483);
-            # Taylor-Hood only (DGP pressure keeps the global-refine fallback).
-            self._adaptive = cfg.delta_refinement > 0 and \
-                not cfg.use_disc_pressure
+            # maps (core.adaptive — stokes_immersed_boundary.cc:472-483); the
+            # reference refines near Γ regardless of the pressure space
+            # (stokes_immersed_boundary.cc:517-529): DGP1 pressure rides the
+            # same adaptive grid with an identity constraint fold.
+            self._adaptive = cfg.delta_refinement > 0
             if self._adaptive:
-                from ..core.adaptive import AdaptiveGrid, AdaptiveSpace
+                from ..core.adaptive import (
+                    AdaptiveDGPSpace, AdaptiveGrid, AdaptiveSpace,
+                )
 
                 agrid = AdaptiveGrid.uniform(sd, cfg.initial_refinement)
                 support = self.imm_mesh.space(
@@ -229,7 +232,12 @@ class StokesProblem:
                     agrid = agrid.refine_near(support)
                 self.grid = agrid
                 self.vel_space = AdaptiveSpace(agrid, cfg.velocity_degree)
-                self.p_space = AdaptiveSpace(agrid, cfg.velocity_degree - 1)
+                if cfg.use_disc_pressure:
+                    assert cfg.velocity_degree == 2, "not a stable pair!"
+                    self.p_space = AdaptiveDGPSpace(agrid, 1)
+                else:
+                    self.p_space = AdaptiveSpace(agrid,
+                                                 cfg.velocity_degree - 1)
                 h_min_diam = agrid.min_cell_diameter
             else:
                 self.grid = UniformGrid.hyper_cube(

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.adaptive import AdaptiveSpace
+from ..core.adaptive import AdaptiveDGPSpace, AdaptiveSpace
 from ..core.fe import FE
 from ..core.grid import GridSpace
 from ..core.immersed import ImmersedSpace
@@ -56,7 +56,7 @@ def _ref_laplace_local(fe, h, order) -> np.ndarray:
 
 def mass_matrix(space: GridSpace, order: int | None = None, coef=None) -> CellMatrix:
     order = order or default_order(space)
-    if isinstance(space, AdaptiveSpace):
+    if isinstance(space, (AdaptiveSpace, AdaptiveDGPSpace)):
         return _adaptive_cell_matrix(space, _ref_mass_local, order, coef)
     local = _ref_mass_local(space.fe, space.grid.h, order)
     return CellMatrix(space.cell_dofs, space.cell_dofs, local,

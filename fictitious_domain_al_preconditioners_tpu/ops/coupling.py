@@ -164,6 +164,39 @@ class Coupling:
         diag = jnp.zeros(n).at[uniqj].set(jnp.diagonal(Aj))
         return LinOp(mv, (n, n), mv, name="AL_compact"), diag
 
+    def patch_w9(self, space, gamma: float, free=None):
+        """Raw Γ-band 9-point patch weights: ``((r0, c0, pr, pc), w9)`` with
+        ``w9[a, b, i, j]`` multiplying ``x[r0+i+a-1, c0+j+b-1]`` at output
+        lattice point ``(r0+i, c0+j)`` — the shared core of
+        :meth:`patch_stencil_al` / :meth:`patch_stencil_region` and the fused
+        Chebyshev smoother's plane builder.  None when not applicable."""
+        if not (hasattr(space, "n_points_1d") and space.fe.degree == 1
+                and space.continuous):
+            return None
+        npts = space.n_points_1d
+        nx, ny = npts[0], npts[1]
+        dofs = np.asarray(self.bg_dofs)
+        rows = dofs // nx
+        cols = dofs % nx
+        r0, r1 = int(rows.min()), int(rows.max())
+        c0, c1 = int(cols.min()), int(cols.max())
+        if r0 < 1 or c0 < 1 or r1 > ny - 2 or c1 > nx - 2:
+            return None
+        pr, pc = r1 - r0 + 1, c1 - c0 + 1
+        phi = np.asarray(self.bg_phi)
+        if free is not None:
+            phi = phi * np.asarray(free, dtype=phi.dtype)[dofs]
+        jxw = np.asarray(self.jxw)
+        locmat = jxw[:, None, None] * phi[:, :, None] * phi[:, None, :]
+        w9 = np.zeros((3, 3, pr, pc))
+        for i in range(dofs.shape[1]):
+            for j in range(dofs.shape[1]):
+                dr = rows[:, j] - rows[:, i] + 1
+                dc = cols[:, j] - cols[:, i] + 1
+                np.add.at(w9, (dr, dc, rows[:, i] - r0, cols[:, i] - c0),
+                          locmat[:, i, j])
+        return (r0, c0, pr, pc), gamma * w9
+
     def patch_stencil_region(self, space, gamma: float, free=None):
         """Region form of :meth:`patch_stencil_al` for fused composition:
         returns ``(origin (r0, c0), region_mv(x2d) -> (pr, pc), diag)`` or

@@ -284,6 +284,17 @@ def _masked_conv9_xla(w, ny: int, nx: int, dtype):
     return apply
 
 
+def stencil_factors_2d(h):
+    """(K0, M0, K1, M1) 1D factors of the Q1 Laplace tensor-product stencil
+    K0⊗M1 + M0⊗K1 for per-lattice-axis cell sizes ``h``."""
+    h0, h1 = float(h[0]), float(h[1])
+    K0 = np.array([-1.0 / h0, 2.0 / h0, -1.0 / h0])
+    M0 = np.array([h0 / 6.0, 2.0 * h0 / 3.0, h0 / 6.0])
+    K1 = np.array([-1.0 / h1, 2.0 / h1, -1.0 / h1])
+    M1 = np.array([h1 / 6.0, 2.0 * h1 / 3.0, h1 / 6.0])
+    return K0, M0, K1, M1
+
+
 def masked_laplace_2d(h, shape, dtype=None):
     """Constrained Q1 stiffness apply on an (ny, nx) lattice (lattice axis
     order): ``m*K(m*u) + (1-m)*u`` with ``m`` the all-sides-Dirichlet interior
@@ -292,13 +303,223 @@ def masked_laplace_2d(h, shape, dtype=None):
     import jax.numpy as jnp
 
     ny, nx = int(shape[0]), int(shape[1])
-    h0, h1 = float(h[0]), float(h[1])
-    K0 = np.array([-1.0 / h0, 2.0 / h0, -1.0 / h0])
-    M0 = np.array([h0 / 6.0, 2.0 * h0 / 3.0, h0 / 6.0])
-    K1 = np.array([-1.0 / h1, 2.0 / h1, -1.0 / h1])
-    M1 = np.array([h1 / 6.0, 2.0 * h1 / 3.0, h1 / 6.0])
+    K0, M0, K1, M1 = stencil_factors_2d(h)
     w = np.outer(K0, M1) + np.outer(M0, K1)
     dtype = dtype or jnp.zeros(0).dtype
     if jax.default_backend() == "tpu" and ny >= MASKED_STENCIL_MIN_ROWS:
         return _masked_conv9_pallas((K0, M0, K1, M1), ny, nx, dtype)
     return _masked_conv9_xla(w, ny, nx, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused degree-k Chebyshev smoother (whole GMG smoother sweep in ONE pass)
+# ---------------------------------------------------------------------------
+#
+# The GMG smoother is where the solve's HBM bytes go: a degree-k Chebyshev
+# sweep on the augmented operator makes k masked stencil applies + k AL
+# Γ-band patch applies + ~5k elementwise vector passes, each a full HBM round
+# trip (~2.8 GB per sweep at 16.8M dofs).  This kernel runs the ENTIRE
+# recurrence
+#
+#     x₀ = D⁻¹b/θ;  p₀ = x₀
+#     for j = 1..k-1:  r = b − op(x);  p = (ρ'ρ)p + (2ρ'/δ)D⁻¹r;  x += p
+#     op(x) = m ⊙ (conv9(m ⊙ x) + patch(m ⊙ x)) + (1−m) ⊙ x
+#
+# per VMEM-resident band: bands of T output rows stream through VMEM with an
+# 8-row halo (validity shrinks one row per application, so halo ≥ degree−1),
+# the Γ-band patch coefficients are loaded ONCE per band and reused by all k
+# applications, and D⁻¹ is derived in-register from the stencil center +
+# patch center (diag = Kc + w_c on free dofs) — no diagonal plane input.
+# Traffic per sweep: read b + 5 patch planes + write x ≈ 7 lattice planes,
+# vs ~40+ for the unfused sweep (VERDICT r2 #2).
+#
+# The 9 patch coefficient planes compress to 5 by symmetry of the AL local
+# matrices: with t_e[p] = w_e[p]·z[p+e] for the four "positive" offsets
+# e ∈ {(0,1),(1,0),(1,1),(1,−1)}, the mirrored term is a shift of the SAME
+# product, w_{−e}[p]·z[p−e] = t_e[p−e], so
+#
+#     patch(z) = w_c·z + Σ_e ( t_e + shift_{−e}(t_e) ).
+
+FUSED_CHEB_MIN_ROWS = 512   # below this the unfused XLA smoother wins
+
+
+def _cheb_scalars(lam_max: float, degree: int, eig_ratio: float,
+                  lam_max_safety: float = 1.1):
+    """Per-step Chebyshev coefficients (a_j, c_j) with p ← a_j p + c_j D⁻¹r,
+    precomputed host-side from the (concrete) Lanczos bound — mirrors
+    precond.chebyshev.chebyshev exactly."""
+    lmax = float(lam_max) * lam_max_safety
+    lmin = float(lam_max) / eig_ratio
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+    rho = 1.0 / sigma1
+    coeffs = []
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        coeffs.append((rho_new * rho, 2.0 * rho_new / delta))
+        rho = rho_new
+    return theta, coeffs
+
+
+def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
+                       *, degree: int = 4, eig_ratio: float = 30.0,
+                       dtype=None, T: int = 128):
+    """Build the fused smoother apply ``b -> x`` for the Dirichlet-masked
+    augmented lattice operator.
+
+    ``factors = (K0, M0, K1, M1)`` 1D stencil factors as in
+    :func:`masked_laplace_2d`; ``shape = (ny, nx)`` lattice (reversed-axis)
+    order; ``planes``: None or the symmetric patch planes, a float32 array
+    (5, ny, nx) [order: center, (0,1), (1,0), (1,1), (1,-1)] zero outside the
+    Γ-band (full-lattice layout keeps the block pipeline trivial;
+    ``plane_origin`` is kept for the banded layout upgrade).  ``lam_max``:
+    CONCRETE Lanczos bound of D⁻¹A (host scalar at build time).
+
+    Returns None when not applicable (off-TPU, tiny lattice).
+    """
+    import jax.numpy as jnp_
+
+    ny, nx = int(shape[0]), int(shape[1])
+    if jax.default_backend() != "tpu" or ny < FUSED_CHEB_MIN_ROWS:
+        return None
+    dtype = dtype or jnp.zeros(0).dtype
+    if dtype == jnp_.bfloat16:
+        return None  # f32 in-register math; bf16 cycle keeps unfused path
+
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H = 8
+    T = min(T, max(H, (ny // H) * H))
+    nb = -(-ny // T)
+    nhb = -(-ny // H)
+    K0, M0, K1, M1 = [[float(v) for v in f] for f in factors]
+    Kc = K0[1] * M1[1] + M0[1] * K1[1]   # constant interior stencil center
+    theta, coeffs = _cheb_scalars(lam_max, degree, eig_ratio)
+    have_patch = planes is not None
+    if have_patch:
+        planes = jnp.asarray(planes, dtype)
+        assert planes.shape == (5, ny, nx), planes.shape
+
+    E = T + 2 * H  # extended working height
+
+    def shift_rows(a, dr, fill=None):
+        """Rows shifted by dr within the extended array (zero fill)."""
+        z = jnp.zeros_like(a[:1]) if fill is None else fill
+        if dr == 1:     # out[r] = a[r-1]
+            return jnp.concatenate([z, a[:-1]], axis=0)
+        if dr == -1:    # out[r] = a[r+1]
+            return jnp.concatenate([a[1:], z], axis=0)
+        return a
+
+    def shift_cols(a, dc):
+        if dc == 1:
+            return pltpu.roll(a, 1, 1)
+        if dc == -1:
+            return pltpu.roll(a, nx - 1, 1)
+        return a
+
+    def kernel(*refs):
+        # refs: b_mid, b_up, b_dn, [pc_mid, pc_up, pc_dn] * 5, out
+        b_mid, b_up, b_dn = refs[0], refs[1], refs[2]
+        out_ref = refs[-1]
+        i = pl.program_id(0)
+        g0 = i * T
+
+        # extended b: rows [g0-H, g0+T+H)
+        b_ext = jnp.concatenate(
+            [b_up[:, :], b_mid[:, :], b_dn[:, :]], axis=0).astype(jnp.float32)
+
+        rows = (g0 - H) + lax.broadcasted_iota(jnp.int32, (E, nx), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (E, nx), 1)
+        inm = ((rows >= 1) & (rows <= ny - 2) &
+               (cols >= 1) & (cols <= nx - 2))
+        # rows of the last partial band beyond ny are Pallas block padding and
+        # may read garbage — zero them with where (NOT multiply: 0*NaN = NaN)
+        # so padding cannot contaminate interior rows through the stencil
+        # shifts.  Real boundary rows keep their b values (identity block).
+        b_ext = jnp.where((rows >= 0) & (rows < ny), b_ext, 0.0)
+        inmf = inm.astype(jnp.float32)
+
+        if have_patch:
+            pe = [jnp.concatenate(
+                [refs[3 + 3 * k][:, :], refs[4 + 3 * k][:, :],
+                 refs[5 + 3 * k][:, :]], axis=0).astype(jnp.float32)
+                for k in range(5)]
+            w_c = pe[0]
+        else:
+            w_c = 0.0
+
+        dinv = jnp.where(inm, 1.0 / (Kc + w_c), 1.0)
+
+        def op(x):
+            z = x * inmf
+            # constant-coefficient tensor-product stencil (separable CSE)
+            vsum = shift_rows(z, 1) + shift_rows(z, -1)
+            sk = K0[0] * vsum + K0[1] * z
+            sm = M0[0] * vsum + M0[1] * z
+            acc = (M1[1] * sk + M1[0] * (shift_cols(sk, 1) +
+                                         shift_cols(sk, -1)) +
+                   K1[1] * sm + K1[0] * (shift_cols(sm, 1) +
+                                         shift_cols(sm, -1)))
+            if have_patch:
+                acc = acc + w_c * z
+                for k, (dr, dc) in enumerate(((0, 1), (1, 0), (1, 1),
+                                              (1, -1)), start=1):
+                    t = pe[k] * shift_cols(shift_rows(z, -dr), -dc)
+                    acc = acc + t + shift_cols(shift_rows(t, dr), dc)
+            return jnp.where(inm, acc, x)
+
+        x = dinv * b_ext * (1.0 / theta)
+        p = x
+        for (a_j, c_j) in coeffs:
+            r = b_ext - op(x)
+            p = a_j * p + c_j * (dinv * r)
+            x = x + p
+        out_ref[:, :] = x[H:H + T, :].astype(dtype)
+
+    def mid_spec(arr_idx=None):
+        return pl.BlockSpec((T, nx), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def up_spec():
+        return pl.BlockSpec((H, nx),
+                            lambda i: (jnp.maximum(i * (T // H) - 1, 0), 0),
+                            memory_space=pltpu.VMEM)
+
+    def dn_spec():
+        return pl.BlockSpec((H, nx),
+                            lambda i: (jnp.minimum(i * (T // H) + T // H,
+                                                   nhb - 1), 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [mid_spec(), up_spec(), dn_spec()]
+    if have_patch:
+        for _ in range(5):
+            in_specs += [mid_spec(), up_spec(), dn_spec()]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T, nx), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ny, nx), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )
+
+    if have_patch:
+        def apply(b):
+            args = [b, b, b]
+            for k in range(5):
+                pk = planes[k]
+                args += [pk, pk, pk]
+            return call(*args)
+    else:
+        def apply(b):
+            return call(b, b, b)
+
+    return apply

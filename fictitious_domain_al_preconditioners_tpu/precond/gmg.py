@@ -235,6 +235,11 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
         # semantics as the wrap below (m*A(m*x) + (1-m)*x) — the Pallas
         # single-pass stencil kernel on TPU lattices (ops.pallas_kernels)
         fused = res[2] if len(res) > 2 else None
+        # optional fourth element: a fused SMOOTHER builder
+        # ``smoother_builder(lam_max) -> apply or None`` running the whole
+        # degree-k Chebyshev sweep in one Pallas pass (ops.pallas_kernels.
+        # fused_chebyshev_2d); falls back to the unfused chebyshev when None
+        smoother_builder = res[3] if len(res) > 3 else None
         dt = dtype or diag.dtype
         maskf = mask.astype(dt)
 
@@ -252,8 +257,13 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
         lam = lanczos_max_eig(
             lambda v, mv=mv, di=diag_inv: (di * mv(v.astype(dt))).astype(lanc_dt),
             sp.n_dofs * n_comp, steps=lanczos_steps, dtype=lanc_dt)
-        smoother = chebyshev(mv, diag_inv, lam, degree=smoother_degree,
-                             eig_ratio=eig_ratio)
+        smoother = None
+        if smoother_builder is not None:
+            smoother = smoother_builder(lam, degree=smoother_degree,
+                                        eig_ratio=eig_ratio)
+        if smoother is None:
+            smoother = chebyshev(mv, diag_inv, lam, degree=smoother_degree,
+                                 eig_ratio=eig_ratio)
         if i > 0:
             finer = spaces[i - 1]
             if sp.fe.degree == 1 and sp.continuous and hasattr(sp, "n_points_1d"):

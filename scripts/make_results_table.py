@@ -105,6 +105,37 @@ def stokes_rows(refs):
     return rows
 
 
+def rational_rows(refs):
+    """The tables/results.md:30-39 family (f=0, g=1 on the circle): MinRes +
+    rational preconditioner, iterations vs DoF."""
+    from fictitious_domain_al_preconditioners_tpu.models import (
+        ImmersedLaplaceConfig, ImmersedLaplaceProblem,
+    )
+
+    rows = []
+    for ref in refs:
+        cfg = ImmersedLaplaceConfig(
+            initial_refinement=ref, initial_embedded_refinement=ref,
+            embedded_configuration=("R*cos(2*pi*x)+Cx; R*sin(2*pi*x)+Cy",
+                                    "R=.2, Cx=.4, Cy=.4"),
+            embedding_rhs=("0", ""), embedded_value=("1", ""),
+            solver="rational")
+        cfg.schur.tolerance = 3e-5
+        cfg.schur.reduction = 1e-6
+        prob = ImmersedLaplaceProblem(cfg)
+        prob.setup()
+        prob.solve()
+        t0 = time.perf_counter()
+        u, lam, info = prob.solve()
+        jax.block_until_ready(u)
+        dt = time.perf_counter() - t0
+        rows.append((prob.space.n_dofs, prob.imm_space.n_dofs,
+                     prob.results["outer_iterations"], dt,
+                     prob.constraint_residual()))
+        print("rational", rows[-1], flush=True)
+    return rows
+
+
 def refined_rows(refs):
     """Reference-tolerance (1e-10 absolute, f64 true residual) solves on TPU
     via mixed-precision iterative refinement (VERDICT r1 item 8)."""
@@ -156,6 +187,8 @@ ROWSPECS = [
     ("laplace", "7"), ("laplace", "8"), ("laplace", "9"), ("laplace", "10"),
     ("laplace", "11"), ("laplace", "12"),
     ("refined", "9"), ("refined", "10"),
+    ("rational", "5"), ("rational", "6"), ("rational", "7"),
+    ("rational", "8"), ("rational", "9"),
     ("elliptic", "0"), ("elliptic", "1"), ("elliptic", "2"),
     ("stokes", "4:5"), ("stokes", "5:6"), ("stokes", "6:7"),
 ]
@@ -166,6 +199,8 @@ def compute_row(kind, arg):
         return laplace_rows([int(arg)])[0]
     if kind == "refined":
         return refined_rows([int(arg)])[0]
+    if kind == "rational":
+        return rational_rows([int(arg)])[0]
     if kind == "elliptic":
         return elliptic_rows(int(arg) + 1)[-1]
     if kind == "stokes":
@@ -248,6 +283,11 @@ def main():
         "regime (parameters/circle/*.prm), unreachable in plain f32.",
         "",
         fmt_with_failures(get("refined", ["9", "10"]), fmt_refined,
+                          "({n} row(s) aborted by a runtime fault)"),
+        "",
+        "## immersed_laplace, `rational` (MinRes + AAA fractional prec), f=0 g=1 circle",
+        "",
+        fmt_with_failures(get("rational", ["5", "6", "7", "8", "9"]), fmt,
                           "({n} row(s) aborted by a runtime fault)"),
         "",
         "## elliptic_interface, modified AL, beta jump 1e3 (3 cycles)",

@@ -318,3 +318,57 @@ def test_stokes3d_delta_refinement_matches_global():
     va, vg = eval_vel(pa), eval_vel(pg)
     scale = np.abs(vg).max()
     assert np.abs(va - vg).max() < 0.05 * scale
+
+
+def test_stokes2d_disc_pressure_delta_refinement_matches_global():
+    """Q2-P1disc with delta_refinement > 0 takes the ADAPTIVE path (DGP1
+    pressure on the quadtree, identity constraint fold) and matches its
+    global-refinement solution (VERDICT r2 missing #4;
+    stokes_immersed_boundary.cc:472-483, 517-529)."""
+    from fictitious_domain_al_preconditioners_tpu.core.adaptive import (
+        AdaptiveDGPSpace,
+    )
+    from fictitious_domain_al_preconditioners_tpu.models.stokes import (
+        ALControl, StokesConfig, StokesProblem,
+    )
+
+    def make(init, delta):
+        cfg = StokesConfig(
+            spacedim=2, initial_refinement=init,
+            initial_embedded_refinement=5, delta_refinement=delta,
+            use_disc_pressure=True,
+            al=ALControl(grad_div_stabilization=True,
+                         inverse_diag_square=True))
+        p = StokesProblem(cfg)
+        p.setup()
+        p.solve()
+        return p
+
+    pa = make(4, 1)
+    pg = make(5, 0)
+    assert isinstance(pa.p_space, AdaptiveDGPSpace)  # adaptive path taken
+    assert pa.results["converged"] and pg.results["converged"]
+    assert pa.results["dofs_background"] < pg.results["dofs_background"]
+    assert pa.constraint_residual() < 1e-6
+
+    # velocity fields agree at interior sample points to discretization error
+    rng = np.random.default_rng(0)
+    q = rng.uniform(0.1, 0.9, size=(200, 2))
+
+    def eval_vel(p):
+        sp = p.vel_space
+        n = sp.n_dofs
+        if hasattr(sp, "tabulate_at"):
+            dofs, phi = sp.tabulate_at(q)
+        else:
+            cells, refs = sp.grid.locate(q)
+            phi = sp.fe.tabulate(refs)
+            dofs = sp.cell_dofs[cells]
+        return np.stack(
+            [np.einsum("nK,nK->n",
+                       np.asarray(p.u).reshape(2, n)[c][dofs], phi)
+             for c in range(2)], axis=1)
+
+    va, vg = eval_vel(pa), eval_vel(pg)
+    scale = np.abs(vg).max()
+    assert np.abs(va - vg).max() < 0.05 * scale

@@ -19,7 +19,7 @@ class TestElasticity:
         prob.setup()
         its = prob.solve()
         assert prob.results["converged"]
-        assert its < 100
+        assert abs(its - 18) <= 2, its       # golden (VERDICT r2 #5)
         assert prob.constraint_residual() < 1e-6
         # displacement should be nonzero and finite
         u = np.asarray(prob.u)
@@ -56,4 +56,5 @@ class TestElasticity:
         prob.setup()
         its = prob.solve()
         assert prob.results["converged"]
+        assert abs(its - 17) <= 2, its       # golden
         assert prob.constraint_residual() < 1e-6

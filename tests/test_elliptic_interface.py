@@ -29,7 +29,7 @@ class TestModifiedAL:
         prob.setup(0)
         its = prob.solve()
         assert prob.results["converged"]
-        assert its < 80
+        assert abs(its - 9) <= 2, its   # golden (CPU f64), VERDICT r2 #5
         assert prob.constraint_residual() < 1e-7
         assert prob.cct_condition_estimate() > 1.0  # full rank assert inside
 
@@ -38,7 +38,7 @@ class TestModifiedAL:
         prob.setup(0)
         its = prob.solve()
         assert prob.results["converged"]
-        assert its < 120
+        assert abs(its - 9) <= 2, its   # golden: jump-robust, same count
 
     def test_h_scaled_mass(self):
         prob = EllipticInterfaceProblem(base_config(use_h_scaled_mass=True))
@@ -49,7 +49,7 @@ class TestModifiedAL:
     def test_diagonal_inverse(self):
         prob = EllipticInterfaceProblem(base_config(use_diagonal_inverse=True))
         prob.setup(0)
-        assert prob.solve() < 120
+        assert abs(prob.solve() - 14) <= 2   # golden
         assert prob.results["converged"]
 
     def test_operator_form(self):
@@ -65,7 +65,8 @@ class TestModifiedAL:
             prob.setup(cycle)
             iters.append(prob.solve())
             assert prob.results["converged"]
-        assert iters[1] <= iters[0] + 12, iters
+        golden = (9, 10)                     # per-cycle golden counts
+        assert all(abs(g - i) <= 2 for g, i in zip(golden, iters)), iters
 
     def test_sqrt2_rule(self):
         prob = EllipticInterfaceProblem(base_config(
@@ -93,7 +94,7 @@ class TestIdealAL:
         prob.setup(0)
         its = prob.solve()
         assert prob.results["converged"]
-        assert its < 30  # ideal AL: very few outer iterations
+        assert abs(its - 6) <= 2, its  # golden; ideal AL: very few outers
         assert prob.constraint_residual() < 1e-7
 
 
@@ -115,8 +116,8 @@ class TestConvergenceStudy:
         rate = np.log2(l2[-2] / l2[-1])
         assert rate > 0.8, (l2, rate)
         its = [row["outer_iterations"] for row in table.rows]
-        assert max(its) < 60, its
-        assert its[-1] <= its[0] + 10, its
+        golden = (18, 22, 23)                # per-cycle golden counts
+        assert all(abs(g - i) <= 2 for g, i in zip(golden, its)), its
 
 
 class TestPrm:

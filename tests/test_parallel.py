@@ -133,6 +133,11 @@ class TestShardedFlagshipSolve:
         prob = self._problem()
         mesh = make_mesh(8)
         sharded = prob.build_sharded_solver(mesh)
+        # constants (Γ-band weights, GMG diagonals, masks) must be hoisted to
+        # runtime args in the SPMD program too — a baked-constant sharded
+        # program hits the compile-payload wall at 16M+ dofs (VERDICT r2 #7)
+        assert sharded.n_hoisted > 0
+        assert sharded.hoisted_bytes > 0
         u_s, lam_s, info_s = sharded(prob.rhs_f, prob.rhs_g, prob.bc_values)
         u_s = jax.block_until_ready(u_s)
         assert bool(info_s.converged)

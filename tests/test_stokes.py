@@ -28,7 +28,7 @@ class TestIBStokesAL2D:
         prob.setup()
         u, p, lam, info = prob.solve()
         assert prob.results["converged"]
-        assert prob.results["outer_iterations"] < 120
+        assert abs(prob.results["outer_iterations"] - 29) <= 2  # golden
         assert prob.constraint_residual() < 1e-6
         # velocity on Gamma should be close to g = (-.5, .5): spot check the
         # interpolated values at quad points
@@ -63,6 +63,7 @@ class TestIBStokesAL2D:
         prob.setup()
         u, p, lam, info = prob.solve()
         assert prob.results["converged"]
+        assert abs(prob.results["outer_iterations"] - 37) <= 2  # golden
 
     def test_iteration_flatness(self):
         iters = []
@@ -75,7 +76,8 @@ class TestIBStokesAL2D:
             prob.solve()
             assert prob.results["converged"]
             iters.append(prob.results["outer_iterations"])
-        assert iters[1] <= iters[0] + 15, iters
+        golden = (29, 32)                     # per-size golden counts
+        assert all(abs(g - i) <= 2 for g, i in zip(golden, iters)), iters
 
 
 class TestBaselines:
