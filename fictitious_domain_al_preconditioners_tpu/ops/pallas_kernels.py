@@ -334,11 +334,12 @@ def masked_laplace_2d(h, shape, dtype=None):
 # vs ~40+ for the unfused sweep (VERDICT r2 #2).
 #
 # The 9 patch coefficient planes compress to 5 by symmetry of the AL local
-# matrices: with t_e[p] = w_e[p]·z[p+e] for the four "positive" offsets
-# e ∈ {(0,1),(1,0),(1,1),(1,−1)}, the mirrored term is a shift of the SAME
-# product, w_{−e}[p]·z[p−e] = t_e[p−e], so
+# matrices (w_{−e}[q] = w_e[q−e]): for the four "positive" offsets
+# e ∈ {(0,1),(1,0),(1,1),(1,−1)},
 #
-#     patch(z) = w_c·z + Σ_e ( t_e + shift_{−e}(t_e) ).
+#     patch(z) = w_c·z + Σ_e ( w_e·shift_{−e}(z) + shift_{+e}(w_e·z) ),
+#
+# i.e. the mirrored-offset term is a shifted read of the UNSHIFTED product.
 
 FUSED_CHEB_MIN_ROWS = 512   # below this the unfused XLA smoother wins
 
@@ -364,7 +365,7 @@ def _cheb_scalars(lam_max: float, degree: int, eig_ratio: float,
 
 def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
                        *, degree: int = 4, eig_ratio: float = 30.0,
-                       dtype=None, T: int = 128):
+                       dtype=None, T: int = 128, interpret: bool = False):
     """Build the fused smoother apply ``b -> x`` for the Dirichlet-masked
     augmented lattice operator.
 
@@ -381,7 +382,8 @@ def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
     import jax.numpy as jnp_
 
     ny, nx = int(shape[0]), int(shape[1])
-    if jax.default_backend() != "tpu" or ny < FUSED_CHEB_MIN_ROWS:
+    if not interpret and (jax.default_backend() != "tpu"
+                          or ny < FUSED_CHEB_MIN_ROWS):
         return None
     dtype = dtype or jnp.zeros(0).dtype
     if dtype == jnp_.bfloat16:
@@ -444,8 +446,9 @@ def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
         inmf = inm.astype(jnp.float32)
 
         if have_patch:
+            # order matches b_ext: UP halo block, then mid, then DOWN halo
             pe = [jnp.concatenate(
-                [refs[3 + 3 * k][:, :], refs[4 + 3 * k][:, :],
+                [refs[4 + 3 * k][:, :], refs[3 + 3 * k][:, :],
                  refs[5 + 3 * k][:, :]], axis=0).astype(jnp.float32)
                 for k in range(5)]
             w_c = pe[0]
@@ -465,11 +468,15 @@ def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
                    K1[1] * sm + K1[0] * (shift_cols(sm, 1) +
                                          shift_cols(sm, -1)))
             if have_patch:
+                # symmetric reconstruction: direct term W_e[p]·z[p+e], and
+                # the mirrored offset is W_{−e}[p]·z[p−e] = (W_e·z)[p−e]
+                # (a shifted read of the UNSHIFTED product — W_{−e}[q] =
+                # W_e[q−e] by symmetry of the AL local matrices)
                 acc = acc + w_c * z
                 for k, (dr, dc) in enumerate(((0, 1), (1, 0), (1, 1),
                                               (1, -1)), start=1):
-                    t = pe[k] * shift_cols(shift_rows(z, -dr), -dc)
-                    acc = acc + t + shift_cols(shift_rows(t, dr), dc)
+                    acc = (acc + pe[k] * shift_cols(shift_rows(z, -dr), -dc) +
+                           shift_cols(shift_rows(pe[k] * z, dr), dc))
             return jnp.where(inm, acc, x)
 
         x = dinv * b_ext * (1.0 / theta)
@@ -509,6 +516,7 @@ def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
         out_shape=jax.ShapeDtypeStruct((ny, nx), dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
     )
 
     if have_patch:
