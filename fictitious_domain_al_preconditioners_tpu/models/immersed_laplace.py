@@ -393,7 +393,7 @@ class ImmersedLaplaceProblem:
 
         def builder(lam, degree, eig_ratio):
             ap2 = fused_chebyshev_2d(
-                factors, (ny, nx), planes, (r0, c0), float(lam),
+                factors, (ny, nx), planes, (r0, c0, pr, pc), float(lam),
                 degree=degree, eig_ratio=eig_ratio, dtype=dtype)
             if ap2 is None:
                 return None

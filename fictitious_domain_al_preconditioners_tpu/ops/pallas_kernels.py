@@ -363,7 +363,7 @@ def _cheb_scalars(lam_max: float, degree: int, eig_ratio: float,
     return theta, coeffs
 
 
-def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
+def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
                        *, degree: int = 4, eig_ratio: float = 30.0,
                        dtype=None, T: int = 128, interpret: bool = False):
     """Build the fused smoother apply ``b -> x`` for the Dirichlet-masked
@@ -373,9 +373,14 @@ def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
     :func:`masked_laplace_2d`; ``shape = (ny, nx)`` lattice (reversed-axis)
     order; ``planes``: None or the symmetric patch planes, a float32 array
     (5, ny, nx) [order: center, (0,1), (1,0), (1,1), (1,-1)] zero outside the
-    Γ-band (full-lattice layout keeps the block pipeline trivial;
-    ``plane_origin`` is kept for the banded layout upgrade).  ``lam_max``:
-    CONCRETE Lanczos bound of D⁻¹A (host scalar at build time).
+    Γ-band; ``patch_box = (r0, c0, pr, pc)`` the band's bounding box.
+    ``lam_max``: CONCRETE Lanczos bound of D⁻¹A (host scalar at build time).
+
+    Banded plane access: the planes are stored column-windowed to the
+    lane-aligned patch box, and their row-block index maps are CLAMPED to the
+    patch rows — Mosaic skips the DMA when a block index repeats, so bands
+    outside the Γ-band fetch no plane bytes.  In-kernel, patch arithmetic
+    runs on the window and is embedded into the full row by aligned concat.
 
     Returns None when not applicable (off-TPU, tiny lattice).
     """
@@ -402,8 +407,17 @@ def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
     theta, coeffs = _cheb_scalars(lam_max, degree, eig_ratio)
     have_patch = planes is not None
     if have_patch:
-        planes = jnp.asarray(planes, dtype)
-        assert planes.shape == (5, ny, nx), planes.shape
+        r0, c0, pr, pc = [int(v) for v in patch_box]
+        # lane-aligned column window [c0a, c1a) covering the patch ± 1 column
+        # (shifted reads); plane values are zero at the window edge columns,
+        # which keeps lane-roll wraparound harmless
+        c0a = max(0, ((c0 - 1) // 128) * 128)
+        c1a = min(nx, -(-(c0 + pc + 1) // 128) * 128)
+        PW = c1a - c0a
+        planes_w = jnp.asarray(np.asarray(planes)[:, :, c0a:c1a], dtype)
+        # clamped block-index ranges (row-banded plane fetches)
+        mlo, mhi = r0 // T, (r0 + pr - 1) // T
+        hlo, hhi = r0 // H, (r0 + pr - 1) // H
 
     E = T + 2 * H  # extended working height
 
@@ -416,15 +430,15 @@ def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
             return jnp.concatenate([a[1:], z], axis=0)
         return a
 
-    def shift_cols(a, dc):
+    def shift_cols(a, dc, width):
         if dc == 1:
             return pltpu.roll(a, 1, 1)
         if dc == -1:
-            return pltpu.roll(a, nx - 1, 1)
+            return pltpu.roll(a, width - 1, 1)
         return a
 
     def kernel(*refs):
-        # refs: b_mid, b_up, b_dn, [pc_mid, pc_up, pc_dn] * 5, out
+        # refs: b_mid, b_up, b_dn, [pw_mid, pw_up, pw_dn] * 5, out
         b_mid, b_up, b_dn = refs[0], refs[1], refs[2]
         out_ref = refs[-1]
         i = pl.program_id(0)
@@ -446,12 +460,25 @@ def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
         inmf = inm.astype(jnp.float32)
 
         if have_patch:
-            # order matches b_ext: UP halo block, then mid, then DOWN halo
-            pe = [jnp.concatenate(
+            # order matches b_ext: UP halo block, then mid, then DOWN halo.
+            # The fetched blocks are only meaningful on patch rows (clamped
+            # index maps fetch in-patch blocks for out-of-patch bands): mask
+            # by the true plane-row range — the true values there are zero.
+            # fresh iota (slicing the lane-replicated `rows` iota hits an
+            # unimplemented extract_strided_slice layout case in Mosaic)
+            rows_w = (g0 - H) + lax.broadcasted_iota(jnp.int32, (E, PW), 0)
+            prow = (rows_w >= r0) & (rows_w <= r0 + pr - 1)
+            pe = [jnp.where(prow, jnp.concatenate(
                 [refs[4 + 3 * k][:, :], refs[3 + 3 * k][:, :],
-                 refs[5 + 3 * k][:, :]], axis=0).astype(jnp.float32)
+                 refs[5 + 3 * k][:, :]], axis=0).astype(jnp.float32), 0.0)
                 for k in range(5)]
-            w_c = pe[0]
+            zleft = jnp.zeros((E, c0a), jnp.float32)
+            zright = jnp.zeros((E, nx - c1a), jnp.float32)
+
+            def embed(aw):
+                return jnp.concatenate([zleft, aw, zright], axis=1)
+
+            w_c = embed(pe[0])
         else:
             w_c = 0.0
 
@@ -463,20 +490,25 @@ def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
             vsum = shift_rows(z, 1) + shift_rows(z, -1)
             sk = K0[0] * vsum + K0[1] * z
             sm = M0[0] * vsum + M0[1] * z
-            acc = (M1[1] * sk + M1[0] * (shift_cols(sk, 1) +
-                                         shift_cols(sk, -1)) +
-                   K1[1] * sm + K1[0] * (shift_cols(sm, 1) +
-                                         shift_cols(sm, -1)))
+            acc = (M1[1] * sk + M1[0] * (shift_cols(sk, 1, nx) +
+                                         shift_cols(sk, -1, nx)) +
+                   K1[1] * sm + K1[0] * (shift_cols(sm, 1, nx) +
+                                         shift_cols(sm, -1, nx)))
             if have_patch:
-                # symmetric reconstruction: direct term W_e[p]·z[p+e], and
-                # the mirrored offset is W_{−e}[p]·z[p−e] = (W_e·z)[p−e]
-                # (a shifted read of the UNSHIFTED product — W_{−e}[q] =
-                # W_e[q−e] by symmetry of the AL local matrices)
-                acc = acc + w_c * z
+                # symmetric reconstruction on the column window: the direct
+                # term is W_e[p]·z[p+e]; the mirrored offset is
+                # W_{−e}[p]·z[p−e] = (W_e·z)[p−e], a shifted read of the
+                # UNSHIFTED product (W_{−e}[q] = W_e[q−e] by symmetry of the
+                # AL local matrices).  Lane-roll wrap is harmless: planes are
+                # zero at the window edge columns.
+                zw = z[:, c0a:c1a]
+                accw = pe[0] * zw
                 for k, (dr, dc) in enumerate(((0, 1), (1, 0), (1, 1),
                                               (1, -1)), start=1):
-                    acc = (acc + pe[k] * shift_cols(shift_rows(z, -dr), -dc) +
-                           shift_cols(shift_rows(pe[k] * z, dr), dc))
+                    accw = (accw +
+                            pe[k] * shift_cols(shift_rows(zw, -dr), -dc, PW) +
+                            shift_cols(shift_rows(pe[k] * zw, dr), dc, PW))
+                acc = acc + embed(accw)
             return jnp.where(inm, acc, x)
 
         x = dinv * b_ext * (1.0 / theta)
@@ -487,7 +519,7 @@ def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
             x = x + p
         out_ref[:, :] = x[H:H + T, :].astype(dtype)
 
-    def mid_spec(arr_idx=None):
+    def mid_spec():
         return pl.BlockSpec((T, nx), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
@@ -504,8 +536,27 @@ def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
 
     in_specs = [mid_spec(), up_spec(), dn_spec()]
     if have_patch:
+        def pw_mid():
+            return pl.BlockSpec((T, PW),
+                                lambda i: (jnp.clip(i, mlo, mhi), 0),
+                                memory_space=pltpu.VMEM)
+
+        def pw_up():
+            return pl.BlockSpec(
+                (H, PW),
+                lambda i: (jnp.clip(jnp.maximum(i * (T // H) - 1, 0),
+                                    hlo, hhi), 0),
+                memory_space=pltpu.VMEM)
+
+        def pw_dn():
+            return pl.BlockSpec(
+                (H, PW),
+                lambda i: (jnp.clip(jnp.minimum(i * (T // H) + T // H,
+                                                nhb - 1), hlo, hhi), 0),
+                memory_space=pltpu.VMEM)
+
         for _ in range(5):
-            in_specs += [mid_spec(), up_spec(), dn_spec()]
+            in_specs += [pw_mid(), pw_up(), pw_dn()]
 
     call = pl.pallas_call(
         kernel,
@@ -523,7 +574,7 @@ def fused_chebyshev_2d(factors, shape, planes, plane_origin, lam_max,
         def apply(b):
             args = [b, b, b]
             for k in range(5):
-                pk = planes[k]
+                pk = planes_w[k]
                 args += [pk, pk, pk]
             return call(*args)
     else:

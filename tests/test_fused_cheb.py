@@ -88,7 +88,8 @@ def test_fused_matches_unfused(n, degree):
                        .astype(np.float32))
     lam = 1.2
     ref = chebyshev(ref_op, dinv, lam, degree=degree, eig_ratio=30.0)
-    fused = fused_chebyshev_2d(factors, (ny, nx), planes, (r0, c0), lam,
+    fused = fused_chebyshev_2d(factors, (ny, nx), planes,
+                               (r0, c0, pr, pc), lam,
                                degree=degree, eig_ratio=30.0,
                                dtype=jnp.float32, interpret=True)
     assert fused is not None
@@ -133,7 +134,7 @@ def test_fused_nopatch_matches():
     dinv = jnp.asarray(np.where(mask_np > 0, 1.0 / Kc, 1.0)
                        .astype(np.float32))
     ref = chebyshev(ref_op, dinv, 1.2, degree=4, eig_ratio=30.0)
-    fused = fused_chebyshev_2d(factors, (ny, nx), None, (0, 0), 1.2,
+    fused = fused_chebyshev_2d(factors, (ny, nx), None, None, 1.2,
                                degree=4, eig_ratio=30.0,
                                dtype=jnp.float32, interpret=True)
     b = jnp.asarray(rng.standard_normal((ny, nx)).astype(np.float32))
