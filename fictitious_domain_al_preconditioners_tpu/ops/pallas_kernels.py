@@ -472,11 +472,17 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
                 [refs[4 + 3 * k][:, :], refs[3 + 3 * k][:, :],
                  refs[5 + 3 * k][:, :]], axis=0).astype(jnp.float32), 0.0)
                 for k in range(5)]
-            zleft = jnp.zeros((E, c0a), jnp.float32)
-            zright = jnp.zeros((E, nx - c1a), jnp.float32)
+            # zero-width segments crash Mosaic ("vector types must have
+            # positive constant sizes") — drop them from the concat
+            zleft = jnp.zeros((E, c0a), jnp.float32) if c0a else None
+            zright = (jnp.zeros((E, nx - c1a), jnp.float32)
+                      if nx - c1a else None)
 
             def embed(aw):
-                return jnp.concatenate([zleft, aw, zright], axis=1)
+                parts = [p for p in (zleft, aw, zright) if p is not None]
+                if len(parts) == 1:
+                    return aw
+                return jnp.concatenate(parts, axis=1)
 
             w_c = embed(pe[0])
         else:
