@@ -27,6 +27,7 @@ Design deviations (TPU-first):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -277,14 +278,15 @@ class ImmersedLaplaceProblem:
             return LatticeOps.for_space(sp).laplace_diag()
         return K_cm.diag()
 
-    # Minimum FINE-lattice extent for the Pallas fast path.  The kernel is
-    # validated end-to-end at fine ny = 4097 (repeated 16.8M-dof solves) and
-    # in isolation at every level shape, but full solves whose FINE lattice
-    # is 1025 deterministically abort the v5e runtime (Mosaic fault in the
-    # composed program; kernel-only and ref-12 programs containing the SAME
-    # 1025-level kernel are fine).  Gate per SOLVE: below this, the XLA
-    # separable path runs everywhere (those sizes solve in <0.3 s anyway).
-    FUSED_MIN_FINE_POINTS = 4097
+    # Minimum FINE-lattice extent for the Pallas fast path.  Round 2 gated
+    # this at 4097 after composed 1025-fine solves aborted the v5e runtime;
+    # the round-3 root causes were (a) a Mosaic extract_strided_slice crash
+    # on sliced lane-replicated iotas and (b) VMEM oversubscription across
+    # the program's resident Pallas kernels (fixed by the smoother's T=96
+    # band height).  With both fixed, composed solves validate at fine 1025,
+    # 2049 and 4097, and the gate keeps only the tiny-lattice cutoff.
+    FUSED_MIN_FINE_POINTS = int(os.environ.get(
+        "FDAL_FUSED_MIN_FINE", "512"))
 
     def _fused_masked_k(self, sp, dtype=None):
         """Single-pass constrained stiffness apply on flat dof vectors:
@@ -362,6 +364,8 @@ class ImmersedLaplaceProblem:
         gmg.build_gmg's 4th op_factory slot, or None when not applicable."""
         if not getattr(self, "_fused_enabled", True):
             return None
+        if os.environ.get("FDAL_DISABLE_FUSED_CHEB") == "1":
+            return None
         if not self._is_lattice(sp) or sp.grid.dim != 2:
             return None
         if set(self.cfg.dirichlet_ids) != {0, 1, 2, 3}:
@@ -371,6 +375,9 @@ class ImmersedLaplaceProblem:
         if _jax.default_backend() != "tpu":
             return None
         if max(self.space.n_points_1d) < self.FUSED_MIN_FINE_POINTS:
+            return None
+        if (os.environ.get("FDAL_FUSED_CHEB_SKIP_FINE") == "1"
+                and sp is self.space):
             return None
         pw = coupling.patch_w9(sp, gamma)
         if pw is None:

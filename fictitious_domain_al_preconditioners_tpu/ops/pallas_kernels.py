@@ -341,7 +341,10 @@ def masked_laplace_2d(h, shape, dtype=None):
 #
 # i.e. the mirrored-offset term is a shifted read of the UNSHIFTED product.
 
-FUSED_CHEB_MIN_ROWS = 512   # below this the unfused XLA smoother wins
+import os as _os
+
+FUSED_CHEB_MIN_ROWS = int(_os.environ.get(
+    "FDAL_FUSED_CHEB_MIN_ROWS", "512"))   # below: unfused XLA smoother wins
 
 
 def _cheb_scalars(lam_max: float, degree: int, eig_ratio: float,
@@ -365,7 +368,8 @@ def _cheb_scalars(lam_max: float, degree: int, eig_ratio: float,
 
 def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
                        *, degree: int = 4, eig_ratio: float = 30.0,
-                       dtype=None, T: int = 128, interpret: bool = False):
+                       dtype=None, T: int | None = None,
+                       interpret: bool = False):
     """Build the fused smoother apply ``b -> x`` for the Dirichlet-masked
     augmented lattice operator.
 
@@ -390,6 +394,16 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
     if not interpret and (jax.default_backend() != "tpu"
                           or ny < FUSED_CHEB_MIN_ROWS):
         return None
+    # Band height: 96 keeps the WHOLE program's resident Pallas footprint
+    # (this kernel at every GMG level + the single-apply stencil kernels,
+    # whose pipeline buffers and spill temporaries coexist in VMEM) under
+    # the v5e limit at fine lattices up to 4097.  T=128 compiles and runs
+    # standalone at 4097 but the composed ref-12 solve faults the runtime
+    # (reproduced: any T=128 instance in that program, even only at coarse
+    # levels, faults; T<=96 everywhere is clean).  Root cause: VMEM
+    # oversubscription across kernels, not a kernel bug.
+    if T is None:
+        T = int(_os.environ.get("FDAL_FUSED_CHEB_T", "96"))
     dtype = dtype or jnp.zeros(0).dtype
     if dtype == jnp_.bfloat16:
         return None  # f32 in-register math; bf16 cycle keeps unfused path
