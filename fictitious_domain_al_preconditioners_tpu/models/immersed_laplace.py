@@ -399,16 +399,39 @@ class ImmersedLaplaceProblem:
         shape_dof = sp.n_points_1d
 
         def builder(lam, degree, eig_ratio):
-            ap2 = fused_chebyshev_2d(
-                factors, (ny, nx), planes, (r0, c0, pr, pc), float(lam),
-                degree=degree, eig_ratio=eig_ratio, dtype=dtype)
+            from ..precond.gmg import FusedSmoother
+
+            def mk(mode):
+                return fused_chebyshev_2d(
+                    factors, (ny, nx), planes, (r0, c0, pr, pc), float(lam),
+                    degree=degree, eig_ratio=eig_ratio, dtype=dtype,
+                    mode=mode)
+
+            ap2 = mk("smooth")
             if ap2 is None:
                 return None
 
             def apply(b):
                 return to_flat(ap2(flat_to_lattice(b, shape_dof)))
 
-            return apply
+            pre = post = None
+            # pre/post fuse the V-cycle's residual / coarse-correction
+            # stages into the sweep.  They match the composed form in
+            # interpret mode (tests/test_fused_cheb.py) but composed
+            # solves with them engaged fault the v5e runtime at ref>=10
+            # (post hangs standalone) — opt-in until root-caused on
+            # hardware.
+            if os.environ.get("FDAL_FUSED_CHEB_PREPOST") == "1":
+                pre2, post2 = mk("pre"), mk("post")
+                if pre2 is not None:
+                    def pre(b):
+                        x2, r2 = pre2(flat_to_lattice(b, shape_dof))
+                        return to_flat(x2), to_flat(r2)
+                if post2 is not None:
+                    def post(b, x0):
+                        return to_flat(post2(flat_to_lattice(b, shape_dof),
+                                             flat_to_lattice(x0, shape_dof)))
+            return FusedSmoother(apply, pre, post)
 
         return builder
 

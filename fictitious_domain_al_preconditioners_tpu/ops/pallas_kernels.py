@@ -369,9 +369,20 @@ def _cheb_scalars(lam_max: float, degree: int, eig_ratio: float,
 def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
                        *, degree: int = 4, eig_ratio: float = 30.0,
                        dtype=None, T: int | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False, mode: str = "smooth"):
     """Build the fused smoother apply ``b -> x`` for the Dirichlet-masked
     augmented lattice operator.
+
+    ``mode`` selects the V-cycle stage fused into the pass (each extra
+    operator application costs one halo row of validity; H=8 covers
+    degree 4 + one residual):
+
+    - ``"smooth"``: ``b -> x``                       (plain sweep)
+    - ``"pre"``:    ``b -> (x, b - A x)``            (pre-smooth + residual:
+      the V-cycle's next step reads the residual straight from this pass
+      instead of paying a separate stencil apply + subtraction round trip)
+    - ``"post"``:   ``(b, x0) -> x0 + cheb(b - A x0)`` (coarse-corrected
+      iterate in, post-smoothed iterate out, one pass)
 
     ``factors = (K0, M0, K1, M1)`` 1D stencil factors as in
     :func:`masked_laplace_2d`; ``shape = (ny, nx)`` lattice (reversed-axis)
@@ -412,7 +423,13 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    assert mode in ("smooth", "pre", "post"), mode
     H = 8
+    # validity budget: each op application shrinks the extended band by one
+    # row per side; the sweep applies op degree-1 times, pre/post add one
+    n_ops = (degree - 1) + (mode != "smooth")
+    if n_ops > H:
+        return None
     T = min(T, max(H, (ny // H) * H))
     nb = -(-ny // T)
     nhb = -(-ny // H)
@@ -451,10 +468,13 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
             return pltpu.roll(a, width - 1, 1)
         return a
 
+    pb = 6 if mode == "post" else 3   # plane refs base offset
+
     def kernel(*refs):
-        # refs: b_mid, b_up, b_dn, [pw_mid, pw_up, pw_dn] * 5, out
+        # refs: b_mid, b_up, b_dn, [x_mid, x_up, x_dn if post],
+        #       [pw_mid, pw_up, pw_dn] * 5, out, [r_out if pre]
         b_mid, b_up, b_dn = refs[0], refs[1], refs[2]
-        out_ref = refs[-1]
+        out_ref = refs[-2] if mode == "pre" else refs[-1]
         i = pl.program_id(0)
         g0 = i * T
 
@@ -470,8 +490,15 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
         # may read garbage — zero them with where (NOT multiply: 0*NaN = NaN)
         # so padding cannot contaminate interior rows through the stencil
         # shifts.  Real boundary rows keep their b values (identity block).
-        b_ext = jnp.where((rows >= 0) & (rows < ny), b_ext, 0.0)
+        in_rows = (rows >= 0) & (rows < ny)
+        b_ext = jnp.where(in_rows, b_ext, 0.0)
         inmf = inm.astype(jnp.float32)
+
+        if mode == "post":
+            x0_ext = jnp.concatenate(
+                [refs[4][:, :], refs[3][:, :], refs[5][:, :]],
+                axis=0).astype(jnp.float32)
+            x0_ext = jnp.where(in_rows, x0_ext, 0.0)
 
         if have_patch:
             # order matches b_ext: UP halo block, then mid, then DOWN halo.
@@ -483,9 +510,9 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
             rows_w = (g0 - H) + lax.broadcasted_iota(jnp.int32, (E, PW), 0)
             prow = (rows_w >= r0) & (rows_w <= r0 + pr - 1)
             pe = [jnp.where(prow, jnp.concatenate(
-                [refs[4 + 3 * k][:, :], refs[3 + 3 * k][:, :],
-                 refs[5 + 3 * k][:, :]], axis=0).astype(jnp.float32), 0.0)
-                for k in range(5)]
+                [refs[pb + 1 + 3 * k][:, :], refs[pb + 3 * k][:, :],
+                 refs[pb + 2 + 3 * k][:, :]], axis=0).astype(jnp.float32),
+                0.0) for k in range(5)]
             # zero-width segments crash Mosaic ("vector types must have
             # positive constant sizes") — drop them from the concat
             zleft = jnp.zeros((E, c0a), jnp.float32) if c0a else None
@@ -531,13 +558,19 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
                 acc = acc + embed(accw)
             return jnp.where(inm, acc, x)
 
-        x = dinv * b_ext * (1.0 / theta)
+        rhs = b_ext if mode != "post" else b_ext - op(x0_ext)
+        x = dinv * rhs * (1.0 / theta)
         p = x
         for (a_j, c_j) in coeffs:
-            r = b_ext - op(x)
+            r = rhs - op(x)
             p = a_j * p + c_j * (dinv * r)
             x = x + p
+        if mode == "post":
+            x = x0_ext + x
         out_ref[:, :] = x[H:H + T, :].astype(dtype)
+        if mode == "pre":
+            res = b_ext - op(x)
+            refs[-1][:, :] = res[H:H + T, :].astype(dtype)
 
     def mid_spec():
         return pl.BlockSpec((T, nx), lambda i: (i, 0),
@@ -555,6 +588,8 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
                             memory_space=pltpu.VMEM)
 
     in_specs = [mid_spec(), up_spec(), dn_spec()]
+    if mode == "post":
+        in_specs += [mid_spec(), up_spec(), dn_spec()]
     if have_patch:
         def pw_mid():
             return pl.BlockSpec((T, PW),
@@ -578,27 +613,32 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
         for _ in range(5):
             in_specs += [pw_mid(), pw_up(), pw_dn()]
 
+    o_spec = pl.BlockSpec((T, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct((ny, nx), dtype)
     call = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((T, nx), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ny, nx), dtype),
+        out_specs=[o_spec, o_spec] if mode == "pre" else o_spec,
+        out_shape=[o_shape, o_shape] if mode == "pre" else o_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
 
-    if have_patch:
-        def apply(b):
-            args = [b, b, b]
+    def plane_args():
+        args = []
+        if have_patch:
             for k in range(5):
                 pk = planes_w[k]
                 args += [pk, pk, pk]
-            return call(*args)
+        return args
+
+    if mode == "post":
+        def apply(b, x0):
+            return call(b, b, b, x0, x0, x0, *plane_args())
     else:
         def apply(b):
-            return call(b, b, b)
+            return call(b, b, b, *plane_args())
 
     return apply

@@ -124,6 +124,25 @@ class VectorProlongation:
         return self.scalar.rmv_multi(cols).T.reshape(-1)
 
 
+class FusedSmoother:
+    """Smoother with optionally-fused V-cycle stages.
+
+    ``__call__(b) -> x`` is the plain sweep.  When the backing kernel
+    supports it, ``pre(b) -> (x, b - A x)`` emits the pre-smoothing
+    residual from the same pass and ``post(b, x0) -> x0 + cheb(b - A x0)``
+    folds the coarse-grid correction's post-smooth into one pass — the
+    V-cycle uses them when present and falls back to composing ``op``
+    otherwise (ops.pallas_kernels.fused_chebyshev_2d modes)."""
+
+    def __init__(self, smooth, pre=None, post=None):
+        self._smooth = smooth
+        self.pre = pre
+        self.post = post
+
+    def __call__(self, b):
+        return self._smooth(b)
+
+
 @dataclass
 class _Level:
     space: GridSpace
@@ -161,15 +180,24 @@ class GMG:
         level = self.levels[li]
         if li == len(self.levels) - 1:
             return self._coarse_solve(b)
-        x = level.smoother(b)
-        r = b - level.op(x)
+        sm = level.smoother
+        pre = getattr(sm, "pre", None)
+        if pre is not None:
+            x, r = pre(b)          # fused: residual emitted by the sweep
+        else:
+            x = sm(b)
+            r = b - level.op(x)
         coarse = self.levels[li + 1]
         # levels[li+1].prolong maps level li+1 -> level li
         rc = (coarse.mask * coarse.prolong.rmv(r)).astype(self.dtype)
         xc = self._vcycle(li + 1, rc)
         x = x + (level.mask * coarse.prolong.mv(xc)).astype(self.dtype)
         # post-smooth on the residual equation
-        x = x + level.smoother(b - level.op(x))
+        post = getattr(sm, "post", None)
+        if post is not None:
+            x = post(b, x)         # fused: b, x0 -> x0 + cheb(b - A x0)
+        else:
+            x = x + sm(b - level.op(x))
         return x
 
     def apply(self, b):

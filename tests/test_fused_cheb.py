@@ -106,6 +106,83 @@ def test_fused_matches_unfused(n, degree):
                                atol=2e-6 * scale)
 
 
+def _setup_ref(n, rng_seed=0):
+    ny = nx = n
+    h = 1.0 / (n - 1)
+    factors = stencil_factors_2d((h, h))
+    K0, M0, K1, M1 = factors
+    Kc = K0[1] * M1[1] + M0[1] * K1[1]
+    rng = np.random.default_rng(rng_seed)
+    (r0, c0, pr, pc), w9 = _synthetic_patch(ny, nx, h, rng)
+    planes = np.zeros((5, ny, nx), dtype=np.float32)
+    for k, (a, b) in enumerate(((1, 1), (1, 2), (2, 1), (2, 2), (2, 0))):
+        planes[k, r0:r0 + pr, c0:c0 + pc] = w9[a, b]
+    w9full = np.zeros((3, 3, ny, nx), dtype=np.float32)
+    w9full[:, :, r0:r0 + pr, c0:c0 + pc] = w9
+    w9full_j = jnp.asarray(w9full)
+    mask_np = np.zeros((ny, nx), np.float32)
+    mask_np[1:-1, 1:-1] = 1.0
+    mask = jnp.asarray(mask_np)
+    wconst = np.outer(np.asarray(K0), np.asarray(M1)) + \
+        np.outer(np.asarray(M0), np.asarray(K1))
+
+    def ref_op(x):
+        z = x * mask
+        up = jnp.pad(z, 1)
+        acc = None
+        for a in range(3):
+            for b in range(3):
+                t = (float(wconst[a][b]) + w9full_j[a, b]) * \
+                    lax.dynamic_slice(up, (a, b), (ny, nx))
+                acc = t if acc is None else acc + t
+        return mask * acc + (1 - mask) * x
+
+    diag = np.where(mask_np > 0, Kc + w9full[1, 1], 1.0)
+    dinv = jnp.asarray(np.where(mask_np > 0, 1.0 / diag, 1.0)
+                       .astype(np.float32))
+    return factors, planes, (r0, c0, pr, pc), ref_op, dinv, rng
+
+
+def test_fused_pre_mode_matches():
+    """pre: one pass emitting (x, b - A x) — the V-cycle's pre-smooth +
+    residual without the separate stencil apply (gmg.GMG._vcycle)."""
+    n = 521
+    factors, planes, box, ref_op, dinv, rng = _setup_ref(n)
+    lam = 1.2
+    ref = chebyshev(ref_op, dinv, lam, degree=4, eig_ratio=30.0)
+    fused = fused_chebyshev_2d(factors, (n, n), planes, box, lam,
+                               degree=4, eig_ratio=30.0,
+                               dtype=jnp.float32, interpret=True,
+                               mode="pre")
+    b = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    x_ref = ref(b)
+    r_ref = np.asarray(b - ref_op(x_ref))
+    x_f, r_f = fused(b)
+    scale = np.abs(np.asarray(x_ref)).max()
+    assert np.abs(np.asarray(x_f) - np.asarray(x_ref)).max() <= 2e-5 * scale
+    rscale = max(np.abs(r_ref).max(), 1e-30)
+    assert np.abs(np.asarray(r_f) - r_ref).max() <= 5e-5 * rscale
+
+
+def test_fused_post_mode_matches():
+    """post: (b, x0) -> x0 + cheb(b - A x0) in one pass (the V-cycle's
+    coarse-corrected post-smooth)."""
+    n = 521
+    factors, planes, box, ref_op, dinv, rng = _setup_ref(n)
+    lam = 1.2
+    ref = chebyshev(ref_op, dinv, lam, degree=4, eig_ratio=30.0)
+    fused = fused_chebyshev_2d(factors, (n, n), planes, box, lam,
+                               degree=4, eig_ratio=30.0,
+                               dtype=jnp.float32, interpret=True,
+                               mode="post")
+    b = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    x0 = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    x_ref = np.asarray(x0 + ref(b - ref_op(x0)))
+    x_f = np.asarray(fused(b, x0))
+    scale = np.abs(x_ref).max()
+    assert np.abs(x_f - x_ref).max() <= 5e-5 * scale
+
+
 def test_fused_nopatch_matches():
     n = 521
     ny = nx = n
