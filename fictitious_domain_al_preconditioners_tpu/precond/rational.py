@@ -159,23 +159,65 @@ def rational_preconditioner(layout: BlockLayout, K_inv, A_imm: CellMatrix,
     diag_batch = A_imm.diag()[:, None] + M_imm.diag()[:, None] * shifts[None, :]
     dinv_batch = 1.0 / diag_batch
 
+    # f32 (TPU) runs cannot reach the f64 stopping levels — unreachable
+    # thresholds make the batched CG grind to max_steps and, worse, the
+    # stagnated iterates drift.  Clamp to dtype-reachable levels; f64
+    # behavior (the golden iteration counts) is untouched.
+    if jnp.zeros(0).dtype == jnp.float32:
+        cg_tol = max(cg_tol, 1e-7)
+        cg_red = 1e-6
+        m_red = 1e-6
+    else:
+        cg_red = 1e-12
+        m_red = 1e-14
+
+    # Pencil zero-mode deflation (closed Γ: A_Γ·1 = 0).  The constant
+    # mode's function value r(0) = d0 - Σ res_i/p_i is a ~4-digit
+    # cancellation of O(d0) pole terms, and the smallest shifts make
+    # (A + s_i M) nearly singular on that mode, so in f32 the pole-solve
+    # sum loses the cancellation entirely (measured at ref 5: the
+    # preconditioned inner product on u1 = M·1 comes out NEGATIVE and
+    # MinRes exits at iteration 0 with β=0).  Split u1 = c·M1 + u1⊥,
+    # run the pole solves on u1⊥ only, and add the exact analytic action
+    # scale·r(0)·c·1 back — a no-op in f64 (golden counts unchanged),
+    # exact in f32.
+    a_rows, _, a_vals = A_imm.to_coo()
+    a_rowsum = np.zeros(A_imm.shape[0])
+    np.add.at(a_rowsum, a_rows, a_vals)
+    a_scale = np.abs(a_vals).max() if len(a_vals) else 1.0
+    deflate = bool(np.abs(a_rowsum).max() <= 1e-8 * a_scale)
+    if deflate:
+        m_rows, _, m_vals = M_imm.to_coo()
+        m_one_h = np.zeros(M_imm.shape[0])
+        np.add.at(m_one_h, m_rows, m_vals)          # M·1 (f64 host)
+        m_total = float(m_one_h.sum())              # 1ᵀM1 = |Γ|
+        r0 = float(d0 - np.sum(residues / poles))   # r(0), exact in f64
+        m_one = jnp.asarray(m_one_h)
+
     def batched_A(X):
         return A_imm.mv(X) + M_imm.mv(X) * shifts[None, :]
 
     def m_inv(v):
         x, _ = cg(M_imm.mv, v, M=lambda r: md_inv * r, tol=0.0,
-                  reduction=1e-14, max_steps=cg_max_steps)
+                  reduction=m_red, max_steps=cg_max_steps)
         return x
 
     def make(alpha=None, qn=None):
         def apply(u):
             u0, u1 = layout.split(u)
             v0 = K_inv(u0)
-            B = jnp.broadcast_to(u1[:, None], (u1.shape[0], k))
+            if deflate:
+                c = jnp.sum(u1) / m_total
+                u1p = u1 - c * m_one
+            else:
+                u1p = u1
+            B = jnp.broadcast_to(u1p[:, None], (u1p.shape[0], k))
             X, _ = batched_cg(batched_A, B, M=lambda R: dinv_batch * R,
-                              tol=cg_tol, reduction=1e-12,
+                              tol=cg_tol, reduction=cg_red,
                               max_steps=cg_max_steps)
-            v1 = c0 * m_inv(u1) + X @ coeffs
+            v1 = c0 * m_inv(u1p) + X @ coeffs
+            if deflate:
+                v1 = v1 + (scale * r0) * c
             if alpha is not None:
                 v1 = v1 + alpha * qn * (qn @ u1)
             return layout.concat((v0, v1))
