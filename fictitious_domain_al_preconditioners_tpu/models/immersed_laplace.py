@@ -416,17 +416,32 @@ class ImmersedLaplaceProblem:
 
             pre = post = None
             # pre/post fuse the V-cycle's residual / coarse-correction
-            # stages into the sweep.  They match the composed form in
-            # interpret mode (tests/test_fused_cheb.py) but composed
-            # solves with them engaged fault the v5e runtime at ref>=10
-            # (post hangs standalone) — opt-in until root-caused on
-            # hardware.
-            if os.environ.get("FDAL_FUSED_CHEB_PREPOST") == "1":
-                pre2, post2 = mk("pre"), mk("post")
+            # stages into the sweep (one halo row of validity each; both
+            # match the composed form in interpret mode,
+            # tests/test_fused_cheb.py).  Status on the v5e runtime after
+            # the round-3 triage (the round-2 "hangs/faults" were two
+            # separate defects):
+            #   - the standalone hang was DMA-pipeline pressure from 22
+            #     per-step input refs; fixed by column-stacking the 5 patch
+            #     planes into one array (3 plane DMAs per step).  All three
+            #     modes now run standalone at fine 1025/2049/4097.
+            #   - "pre" composes cleanly into the FULL solve (validated at
+            #     refs 10 and 12, iteration parity 4=4) — ON by default.
+            #   - "post" still faults the runtime in one specific program
+            #     shape: a coupling scatter-add placed AFTER a post-bearing
+            #     CG while_loop in the same jit (minimal repro:
+            #     aug_inv(u0) + Ct(lam) faults; aug_inv(u0 - Ct(lam))
+            #     passes; an optimization_barrier does not help, so it is
+            #     a runtime memory-assignment defect, not scheduling) —
+            #     opt-in via FDAL_FUSED_CHEB_PREPOST=1.
+            if os.environ.get("FDAL_FUSED_CHEB_PRE", "1") == "1":
+                pre2 = mk("pre")
                 if pre2 is not None:
                     def pre(b):
                         x2, r2 = pre2(flat_to_lattice(b, shape_dof))
                         return to_flat(x2), to_flat(r2)
+            if os.environ.get("FDAL_FUSED_CHEB_PREPOST") == "1":
+                post2 = mk("post")
                 if post2 is not None:
                     def post(b, x0):
                         return to_flat(post2(flat_to_lattice(b, shape_dof),
@@ -838,6 +853,7 @@ class ImmersedLaplaceProblem:
         gmg = build_gmg(self.space, aug_op_factory, free_mask=self.free,
                         smoother_degree=cfg.gmg_smoother_degree,
                         dtype=jnp.bfloat16 if cfg.use_bf16_multigrid else None)
+        self._last_gmg = gmg  # exposed for diagnostics (tests, kernel triage)
 
         def aug_inv(v):
             x, _ = cg(Aug, v, M=gmg.apply, tol=cfg.inner_tolerance,

@@ -445,7 +445,15 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
         c0a = max(0, ((c0 - 1) // 128) * 128)
         c1a = min(nx, -(-(c0 + pc + 1) // 128) * 128)
         PW = c1a - c0a
-        planes_w = jnp.asarray(np.asarray(planes)[:, :, c0a:c1a], dtype)
+        # the 5 column-windowed planes are stacked along columns into ONE
+        # (ny, 5*PW) array so each grid step issues 3 plane DMAs (mid/up/dn)
+        # instead of 15 — the 22-ref post-mode pipeline hung the v5e runtime
+        # at fine lattices >= 1025 (DMA pipeline pressure), and fewer refs is
+        # strictly simpler for every mode.  PW is lane-aligned (multiple of
+        # 128), so the in-kernel window slices stay aligned.
+        planes_w = jnp.asarray(
+            np.concatenate(list(np.asarray(planes)[:, :, c0a:c1a]), axis=1),
+            dtype)
         # clamped block-index ranges (row-banded plane fetches)
         mlo, mhi = r0 // T, (r0 + pr - 1) // T
         hlo, hhi = r0 // H, (r0 + pr - 1) // H
@@ -472,7 +480,8 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
 
     def kernel(*refs):
         # refs: b_mid, b_up, b_dn, [x_mid, x_up, x_dn if post],
-        #       [pw_mid, pw_up, pw_dn] * 5, out, [r_out if pre]
+        #       [pw_mid, pw_up, pw_dn] (5 planes column-stacked),
+        #       out, [r_out if pre]
         b_mid, b_up, b_dn = refs[0], refs[1], refs[2]
         out_ref = refs[-2] if mode == "pre" else refs[-1]
         i = pl.program_id(0)
@@ -507,12 +516,13 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
             # by the true plane-row range — the true values there are zero.
             # fresh iota (slicing the lane-replicated `rows` iota hits an
             # unimplemented extract_strided_slice layout case in Mosaic)
-            rows_w = (g0 - H) + lax.broadcasted_iota(jnp.int32, (E, PW), 0)
+            rows_w = (g0 - H) + lax.broadcasted_iota(
+                jnp.int32, (E, 5 * PW), 0)
             prow = (rows_w >= r0) & (rows_w <= r0 + pr - 1)
-            pe = [jnp.where(prow, jnp.concatenate(
-                [refs[pb + 1 + 3 * k][:, :], refs[pb + 3 * k][:, :],
-                 refs[pb + 2 + 3 * k][:, :]], axis=0).astype(jnp.float32),
-                0.0) for k in range(5)]
+            pw_all = jnp.where(prow, jnp.concatenate(
+                [refs[pb + 1][:, :], refs[pb][:, :], refs[pb + 2][:, :]],
+                axis=0).astype(jnp.float32), 0.0)
+            pe = [pw_all[:, k * PW:(k + 1) * PW] for k in range(5)]
             # zero-width segments crash Mosaic ("vector types must have
             # positive constant sizes") — drop them from the concat
             zleft = jnp.zeros((E, c0a), jnp.float32) if c0a else None
@@ -592,26 +602,25 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
         in_specs += [mid_spec(), up_spec(), dn_spec()]
     if have_patch:
         def pw_mid():
-            return pl.BlockSpec((T, PW),
+            return pl.BlockSpec((T, 5 * PW),
                                 lambda i: (jnp.clip(i, mlo, mhi), 0),
                                 memory_space=pltpu.VMEM)
 
         def pw_up():
             return pl.BlockSpec(
-                (H, PW),
+                (H, 5 * PW),
                 lambda i: (jnp.clip(jnp.maximum(i * (T // H) - 1, 0),
                                     hlo, hhi), 0),
                 memory_space=pltpu.VMEM)
 
         def pw_dn():
             return pl.BlockSpec(
-                (H, PW),
+                (H, 5 * PW),
                 lambda i: (jnp.clip(jnp.minimum(i * (T // H) + T // H,
                                                 nhb - 1), hlo, hhi), 0),
                 memory_space=pltpu.VMEM)
 
-        for _ in range(5):
-            in_specs += [pw_mid(), pw_up(), pw_dn()]
+        in_specs += [pw_mid(), pw_up(), pw_dn()]
 
     o_spec = pl.BlockSpec((T, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
     o_shape = jax.ShapeDtypeStruct((ny, nx), dtype)
@@ -627,12 +636,9 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
     )
 
     def plane_args():
-        args = []
         if have_patch:
-            for k in range(5):
-                pk = planes_w[k]
-                args += [pk, pk, pk]
-        return args
+            return [planes_w, planes_w, planes_w]
+        return []
 
     if mode == "post":
         def apply(b, x0):
