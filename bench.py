@@ -83,14 +83,25 @@ def _timed_solve(prob):
 def _stiffness_gbs(prob):
     """Slope-timed in-jit chained applies of the production constrained
     stiffness (the solver's actual hot op; SpMV GB/s north star, BASELINE.md).
-    Traffic model: read + write the lattice once per apply."""
+    Traffic model: read + write the lattice once per apply.
+
+    The chain carries whatever shape the solver's inner loop actually
+    carries at this size: the LATTICE-shaped iterate when the
+    lattice-resident inner solve is active (flat<->lattice reshapes of a
+    non-lane-aligned lattice are real relayouts on TPU; the lattice solver
+    crosses that boundary once per aug_inv, not per apply), else the flat
+    dof vector (fine > LAT_MAX_FINE, see immersed_laplace.LAT_MAX_FINE)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    k_mv = (prob._fused_masked_k(prob.space) or
-            prob._k_apply(prob.space, prob.K))
+    k_lat = (prob._fused_masked_k_lat(prob.space)
+             if prob._lat_mode_ok() else None)
+    k_mv = k_lat or (prob._fused_masked_k(prob.space) or
+                     prob._k_apply(prob.space, prob.K))
     dofs = prob.space.n_dofs
+    carry_shape = (tuple(reversed(prob.space.n_points_1d)) if k_lat
+                   else (dofs,))
 
     # PURE chain: a rescaling link would add one elementwise HBM round trip
     # per apply (+2 fields, halving the reported number); iterates overflow
@@ -102,7 +113,7 @@ def _stiffness_gbs(prob):
         def f(x, iters=iters):
             return lax.fori_loop(0, iters, lambda i, v: k_mv(v), x)
         fs.append(f)
-    x = jnp.ones(dofs, jnp.float32)
+    x = jnp.ones(carry_shape, jnp.float32)
     for f in fs:
         _ = float(jnp.sum(f(x)))  # compile + force completion
     best = None

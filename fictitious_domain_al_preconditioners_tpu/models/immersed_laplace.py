@@ -232,7 +232,38 @@ class ImmersedLaplaceProblem:
 
     def _kg_inv(self, reduction=1e-13):
         """Tight GMG-preconditioned CG inverse of the constrained K — the
-        UMFPACK/AMG-exact-inverse stand-in."""
+        UMFPACK/AMG-exact-inverse stand-in.  Lattice-resident on 2D Q1
+        lattices (the inner CG + GMG chain on (ny, nx) arrays; the flat
+        boundary is crossed once per K_inv call)."""
+        f2_lat = (self._fused_masked_k_lat(self.space)
+                  if self._lat_mode_ok() else None)
+        if f2_lat is not None:
+            from ..parallel.lattice import flat_to_lattice, to_flat
+
+            shape = self.space.n_points_1d
+
+            def factory_lat(sp):
+                K_l = self.K if sp is self.space else laplace_matrix(
+                    sp, order=self.cfg.embedding_space_degree + 1)
+                f2l = self._fused_masked_k_lat(sp)
+                cb = self._fused_cheb_builder(sp, None, 0.0, flat=False)
+                return f2l, self._k_diag(sp, K_l), f2l, cb
+
+            gmg = build_gmg(self.space, factory_lat, free_mask=self.free,
+                            lattice=True)
+
+            def k_mv(x):
+                return to_flat(f2_lat(flat_to_lattice(x, shape)))
+
+            K_c = LinOp(k_mv, self.K.shape, k_mv, name="K_c")
+
+            def K_inv(v):
+                x2, _ = cg(f2_lat, flat_to_lattice(v, shape), M=gmg.apply,
+                           tol=0.0, reduction=reduction, max_steps=2000)
+                return to_flat(x2)
+
+            return K_c, K_inv
+
         fused = self._fused_masked_k(self.space)
         if fused is not None:
             K_c = LinOp(fused, self.K.shape, fused, name="K_c")
@@ -288,13 +319,39 @@ class ImmersedLaplaceProblem:
     FUSED_MIN_FINE_POINTS = int(os.environ.get(
         "FDAL_FUSED_MIN_FINE", "512"))
 
-    def _fused_masked_k(self, sp, dtype=None):
-        """Single-pass constrained stiffness apply on flat dof vectors:
-        ``m*K(m*x) + (1-m)*x`` fused into one HBM round trip (Pallas kernel
-        ops.pallas_kernels.masked_laplace_2d; XLA fallback off-TPU).  None
-        when not applicable (non-lattice space, partial Dirichlet sides,
-        fine solve below FUSED_MIN_FINE_POINTS on TPU, or disabled for the
-        SPMD-sharded program where a custom kernel would block GSPMD
+    # Maximum fine-lattice extent for the LATTICE-RESIDENT inner solve on
+    # TPU.  At fine 4097 (ref 12) the composition "CG while_loop whose body
+    # holds BOTH the fine Pallas stencil (A) and the multi-level Pallas GMG
+    # (M) on 2D lattice carries" crashes the v5e worker at runtime.  Bisected
+    # on hardware: A alone in CG passes, GMG alone in a loop passes, the
+    # combination crashes; NOT the AL patch (crashes with A = stencil only),
+    # NOT dynamic-update-slice (pad-embed variant crashes), NOT band height
+    # (T=256/128/96 all crash), NOT duplicate kernel instances (lru-shared
+    # instance crashes), NOT hierarchy depth alone; the same program with the
+    # stencil forced to its XLA form passes, and the SAME composition on
+    # 2049 and 1025 lattices passes.  In flat mode every Pallas call is
+    # sandwiched by flat<->lattice relayout copies and ref 12 works — so
+    # above this size the solver keeps the (proven) flat composition and
+    # pays the relayouts.
+    LAT_MAX_FINE = int(os.environ.get("FDAL_LAT_MAX_FINE", "4096"))
+
+    def _lat_mode_ok(self) -> bool:
+        """Whether the lattice-resident inner solve is enabled for the
+        current fine space (see LAT_MAX_FINE)."""
+        import jax as _jax
+
+        if self._fused_masked_k_lat(self.space) is None:
+            return False
+        return not (_jax.default_backend() == "tpu"
+                    and max(self.space.n_points_1d) > self.LAT_MAX_FINE)
+
+    def _fused_masked_k_lat(self, sp, dtype=None):
+        """LATTICE-RESIDENT single-pass constrained stiffness apply
+        ``x2 -> m*K(m*x2) + (1-m)*x2`` on lattice (ny, nx) arrays (Pallas
+        kernel ops.pallas_kernels.masked_laplace_2d; XLA fallback off-TPU).
+        None when not applicable (non-lattice space, partial Dirichlet
+        sides, fine solve below FUSED_MIN_FINE_POINTS on TPU, or disabled
+        for the SPMD-sharded program where a custom kernel would block GSPMD
         partitioning)."""
         if not getattr(self, "_fused_enabled", True):
             return None
@@ -308,10 +365,20 @@ class ImmersedLaplaceProblem:
                 and max(self.space.n_points_1d) < self.FUSED_MIN_FINE_POINTS:
             return None
         from ..ops.pallas_kernels import masked_laplace_2d
-        from ..parallel.lattice import LatticeOps, flat_to_lattice, to_flat
+        from ..parallel.lattice import LatticeOps
 
         lat = LatticeOps.for_space(sp)
-        f2 = masked_laplace_2d(lat.h, lat.shape, dtype=dtype)
+        return masked_laplace_2d(lat.h, lat.shape, dtype=dtype)
+
+    def _fused_masked_k(self, sp, dtype=None):
+        """Flat-vector wrapper of :meth:`_fused_masked_k_lat` (one
+        flat<->lattice relayout per apply — the lattice-mode inner solve
+        avoids it by staying in lattice shape)."""
+        f2 = self._fused_masked_k_lat(sp, dtype=dtype)
+        if f2 is None:
+            return None
+        from ..parallel.lattice import flat_to_lattice, to_flat
+
         shape = sp.n_points_1d
 
         def mv(x):
@@ -355,13 +422,16 @@ class ImmersedLaplaceProblem:
 
         return mv, al_diag
 
-    def _fused_cheb_builder(self, sp, coupling, gamma, dtype=None):
+    def _fused_cheb_builder(self, sp, coupling, gamma, dtype=None,
+                            flat: bool = True):
         """Builder for the fully-fused degree-k Chebyshev GMG smoother
         (ops.pallas_kernels.fused_chebyshev_2d): the whole sweep — k masked
         stencil applies + k Γ-band AL patch applies + the polynomial
         recurrence — in ONE Pallas pass per application of the smoother.
         Returns ``builder(lam, degree, eig_ratio) -> apply or None`` for
-        gmg.build_gmg's 4th op_factory slot, or None when not applicable."""
+        gmg.build_gmg's 4th op_factory slot, or None when not applicable.
+        With ``flat=False`` the returned applies consume/produce lattice
+        (ny, nx) arrays directly (the lattice-mode GMG; no relayouts)."""
         if not getattr(self, "_fused_enabled", True):
             return None
         if os.environ.get("FDAL_DISABLE_FUSED_CHEB") == "1":
@@ -379,9 +449,6 @@ class ImmersedLaplaceProblem:
         if (os.environ.get("FDAL_FUSED_CHEB_SKIP_FINE") == "1"
                 and sp is self.space):
             return None
-        pw = coupling.patch_w9(sp, gamma)
-        if pw is None:
-            return None
         from ..ops.pallas_kernels import (
             fused_chebyshev_2d, stencil_factors_2d,
         )
@@ -389,12 +456,21 @@ class ImmersedLaplaceProblem:
 
         lat = LatticeOps.for_space(sp)
         ny, nx = int(lat.shape[0]), int(lat.shape[1])
-        (r0, c0, pr, pc), w9 = pw
-        # symmetric 5-plane compression (center + 4 positive offsets); the
-        # mirrored offsets are shifted reads of the same planes in-kernel
-        planes = np.zeros((5, ny, nx), dtype=np.float32)
-        for k, (a, b) in enumerate(((1, 1), (1, 2), (2, 1), (2, 2), (2, 0))):
-            planes[k, r0:r0 + pr, c0:c0 + pc] = w9[a, b]
+        if coupling is not None:
+            pw = coupling.patch_w9(sp, gamma)
+            if pw is None:
+                return None
+            (r0, c0, pr, pc), w9 = pw
+            # symmetric 5-plane compression (center + 4 positive offsets);
+            # the mirrored offsets are shifted reads of the same planes
+            # in-kernel
+            planes = np.zeros((5, ny, nx), dtype=np.float32)
+            for k, (a, b) in enumerate(((1, 1), (1, 2), (2, 1), (2, 2),
+                                        (2, 0))):
+                planes[k, r0:r0 + pr, c0:c0 + pc] = w9[a, b]
+        else:
+            # plain (unaugmented) stiffness smoother: no Γ-band patch
+            planes, (r0, c0, pr, pc) = None, (0, 0, 0, 0)
         factors = stencil_factors_2d(lat.h)
         shape_dof = sp.n_points_1d
 
@@ -411,8 +487,11 @@ class ImmersedLaplaceProblem:
             if ap2 is None:
                 return None
 
-            def apply(b):
-                return to_flat(ap2(flat_to_lattice(b, shape_dof)))
+            if flat:
+                def apply(b):
+                    return to_flat(ap2(flat_to_lattice(b, shape_dof)))
+            else:
+                apply = ap2
 
             pre = post = None
             # pre/post fuse the V-cycle's residual / coarse-correction
@@ -437,15 +516,23 @@ class ImmersedLaplaceProblem:
             if os.environ.get("FDAL_FUSED_CHEB_PRE", "1") == "1":
                 pre2 = mk("pre")
                 if pre2 is not None:
-                    def pre(b):
-                        x2, r2 = pre2(flat_to_lattice(b, shape_dof))
-                        return to_flat(x2), to_flat(r2)
+                    if flat:
+                        def pre(b):
+                            x2, r2 = pre2(flat_to_lattice(b, shape_dof))
+                            return to_flat(x2), to_flat(r2)
+                    else:
+                        def pre(b):
+                            return tuple(pre2(b))
             if os.environ.get("FDAL_FUSED_CHEB_PREPOST") == "1":
                 post2 = mk("post")
                 if post2 is not None:
-                    def post(b, x0):
-                        return to_flat(post2(flat_to_lattice(b, shape_dof),
-                                             flat_to_lattice(x0, shape_dof)))
+                    if flat:
+                        def post(b, x0):
+                            return to_flat(post2(
+                                flat_to_lattice(b, shape_dof),
+                                flat_to_lattice(x0, shape_dof)))
+                    else:
+                        post = post2
             return FusedSmoother(apply, pre, post)
 
         return builder
@@ -801,30 +888,61 @@ class ImmersedLaplaceProblem:
             def cheb_builder(sp):
                 return None  # (no patch planes in explicit form)
 
+        gmg_dt = jnp.bfloat16 if cfg.use_bf16_multigrid else None
+
+        # --- lattice-resident inner solve --------------------------------
+        # On TPU the reshape between a flat dof vector and the (ny, nx)
+        # lattice is a REAL relayout (nx = 2^r + 1 is never lane-aligned):
+        # measured 0.45 ms per round trip at 4097² — chaining the stencil
+        # kernel on a 2D carry runs 308 GB/s vs 101 GB/s on a flat carry.
+        # When the fused lattice kernels are active, the inner CG + the
+        # whole GMG hierarchy therefore run ON LATTICE ARRAYS; the flat
+        # boundary is crossed once per aug_inv call (outer FGMRES stays on
+        # flat block vectors — a handful of applies per solve).
+        lat_mode = False
+        if cfg.use_operator_form and self._lat_mode_ok():
+            f2_fine = self._fused_masked_k_lat(self.space)
+            al_fine_lat = Cp_fine.patch_al_lattice(
+                self.space, gamma, free=np.asarray(self.free))
+            lat_mode = al_fine_lat is not None
+
         al_apply_fine = AL.mv if hasattr(AL, "mv") else AL
-        fused_pair = fused_aug(self.space)
-        if fused_pair is not None:
-            # ONE Pallas pass + in-place patch add: identical semantics to
-            # constrain(K + AL, free)
-            aug_mv = fused_pair[0]
+        if lat_mode:
+            from ..parallel.lattice import flat_to_lattice, to_flat
+
+            shape_fine = self.space.n_points_1d
+            al_mv2_fine = al_fine_lat[0]
+
+            def aug_mv_lat(x2):
+                return f2_fine(x2) + al_mv2_fine(x2)
+
+            def aug_mv(x):
+                return to_flat(aug_mv_lat(flat_to_lattice(x, shape_fine)))
+
             n = self.space.n_dofs
             Aug = LinOp(aug_mv, (n, n), aug_mv, name="Aug")
         else:
-            fused_fine = self._fused_masked_k(self.space)
-            if fused_fine is not None:
-                al_m = self._masked_wrap(self.space, al_apply_fine)
-
-                def aug_mv(x):
-                    return fused_fine(x) + al_m(x)
-
+            fused_pair = fused_aug(self.space)
+            if fused_pair is not None:
+                # ONE Pallas pass + in-place patch add: identical semantics
+                # to constrain(K + AL, free)
+                aug_mv = fused_pair[0]
                 n = self.space.n_dofs
                 Aug = LinOp(aug_mv, (n, n), aug_mv, name="Aug")
             else:
-                Aug_raw = K_lin + LinOp(*_unpack((AL, None),
-                                                 self.space.n_dofs))
-                Aug = constrain(Aug_raw, self.free)
+                fused_fine = self._fused_masked_k(self.space)
+                if fused_fine is not None:
+                    al_m = self._masked_wrap(self.space, al_apply_fine)
 
-        gmg_dt = jnp.bfloat16 if cfg.use_bf16_multigrid else None
+                    def aug_mv(x):
+                        return fused_fine(x) + al_m(x)
+
+                    n = self.space.n_dofs
+                    Aug = LinOp(aug_mv, (n, n), aug_mv, name="Aug")
+                else:
+                    Aug_raw = K_lin + LinOp(*_unpack((AL, None),
+                                                     self.space.n_dofs))
+                    Aug = constrain(Aug_raw, self.free)
 
         def aug_op_factory(sp):
             K_l = self.K if sp is self.space else laplace_matrix(
@@ -850,15 +968,57 @@ class ImmersedLaplaceProblem:
                 return mv, diag, fused_mv, cheb_builder(sp)
             return mv, diag
 
-        gmg = build_gmg(self.space, aug_op_factory, free_mask=self.free,
+        def aug_op_factory_lat(sp):
+            """Lattice-resident level ops for build_gmg(lattice=True): every
+            apply consumes/produces lattice (ny, nx) arrays."""
+            K_l = self.K if sp is self.space else laplace_matrix(
+                sp, order=cfg.embedding_space_degree + 1)
+            f2l = self._fused_masked_k_lat(sp, dtype=gmg_dt)
+            assert f2l is not None  # lat_mode gates are whole-solver
+            free_l = (np.asarray(self.free) if sp is self.space
+                      else ~sp.boundary_dof_mask(list(cfg.dirichlet_ids)))
+            al = coupling_for(sp).patch_al_lattice(sp, gamma, free=free_l)
+            lat_shape = tuple(reversed(sp.n_points_1d))
+            if al is not None:
+                al_mv2, al_diag = al
+            else:
+                # Γ-band not interior at this (coarse) lattice: flat AL with
+                # reshape boundary — the level is small, relayouts are cheap
+                al_flat, al_diag = al_factory(sp)
+                al_apply = al_flat.mv if hasattr(al_flat, "mv") else al_flat
+                al_m = self._masked_wrap(sp, al_apply)
+
+                def al_mv2(x2, al_m=al_m, lat_shape=lat_shape):
+                    return al_m(x2.reshape(-1)).reshape(lat_shape)
+
+            def mv(x2, f2l=f2l, al_mv2=al_mv2):
+                return f2l(x2) + al_mv2(x2)
+
+            diag = self._k_diag(sp, K_l) + al_diag
+            cb = self._fused_cheb_builder(sp, coupling_for(sp), gamma,
+                                          dtype=gmg_dt, flat=False)
+            return mv, diag, mv, cb
+
+        gmg = build_gmg(self.space,
+                        aug_op_factory_lat if lat_mode else aug_op_factory,
+                        free_mask=self.free,
                         smoother_degree=cfg.gmg_smoother_degree,
-                        dtype=jnp.bfloat16 if cfg.use_bf16_multigrid else None)
+                        dtype=jnp.bfloat16 if cfg.use_bf16_multigrid else None,
+                        lattice=lat_mode)
         self._last_gmg = gmg  # exposed for diagnostics (tests, kernel triage)
 
-        def aug_inv(v):
-            x, _ = cg(Aug, v, M=gmg.apply, tol=cfg.inner_tolerance,
-                      max_steps=cfg.inner_max_steps)
-            return x
+        if lat_mode:
+            def aug_inv(v):
+                v2 = flat_to_lattice(v, shape_fine)
+                x2, _ = cg(aug_mv_lat, v2, M=gmg.apply,
+                           tol=cfg.inner_tolerance,
+                           max_steps=cfg.inner_max_steps)
+                return to_flat(x2)
+        else:
+            def aug_inv(v):
+                x, _ = cg(Aug, v, M=gmg.apply, tol=cfg.inner_tolerance,
+                          max_steps=cfg.inner_max_steps)
+                return x
 
         AA = block_operator(layout, layout, [[Aug, Ct_lin], [C_lin, None]])
         prec = al_preconditioner(layout, aug_inv, Ct_lin, inv_w, gamma)

@@ -312,6 +312,43 @@ class Coupling:
 
         return _LinOp(mv, (n, n), mv, name="AL_stencil"), diag
 
+    def patch_al_lattice(self, space, gamma: float, free=None):
+        """LATTICE-RESIDENT particle-form AL apply: ``mv2(x2d) -> (ny, nx)``
+        consuming and producing lattice (reversed-axis) arrays — the
+        relayout-free core of :meth:`patch_stencil_al` for the lattice-mode
+        inner solve (flat<->lattice reshapes on TPU are full HBM round trips
+        when nx is not lane-aligned).  ``free`` (flat bool dof mask) bakes
+        Dirichlet input masking into the weights, so
+        ``mv2(x2) == (m * AL(m * x)).reshape(lat)`` exactly even when the
+        patch halo touches a boundary row/column.  Returns ``(mv2, diag)``
+        with ``diag`` the flat assembled diagonal, or None when the Γ-band
+        is not interior to the lattice."""
+        import jax
+
+        pw = self.patch_w9(space, gamma, free=free)
+        if pw is None:
+            return None
+        (r0, c0, pr, pc), w9 = pw
+        npts = space.n_points_1d
+        nx, ny = npts[0], npts[1]
+        w9j = jnp.asarray(w9)
+
+        def mv2(x2d):
+            up = jax.lax.dynamic_slice(x2d, (r0 - 1, c0 - 1),
+                                       (pr + 2, pc + 2))
+            acc = None
+            for a in range(3):
+                for b in range(3):
+                    term = w9j[a, b].astype(x2d.dtype) * \
+                        jax.lax.dynamic_slice(up, (a, b), (pr, pc))
+                    acc = term if acc is None else acc + term
+            out = jnp.zeros((ny, nx), dtype=x2d.dtype)
+            return jax.lax.dynamic_update_slice(out, acc, (r0, c0))
+
+        dg = np.zeros((ny, nx))
+        dg[r0:r0 + pr, c0:c0 + pc] = np.asarray(w9[1, 1])
+        return mv2, jnp.asarray(dg.reshape(-1))
+
     def al_term_diag(self, w_diag, gamma: float):
         """Diagonal of γ·Cᵀdiag(w)C via deduplicated COO (host-side setup,
         feeds the GMG/Chebyshev smoother of the augmented block)."""

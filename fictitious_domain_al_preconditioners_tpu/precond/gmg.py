@@ -100,6 +100,30 @@ class LatticeProlongation:
 
 
 @dataclass
+class LatticeTransfer2D:
+    """Lattice-RESIDENT Q1 transfer: consumes and produces lattice
+    (reversed-axis) 2D arrays directly — no flat round trip.  On TPU the
+    reshape between a flat dof vector and a (ny, nx) lattice with nx not
+    lane-aligned (2^r + 1 never is) is a real relayout costing a full HBM
+    round trip; the lattice-mode GMG keeps every level's vectors in lattice
+    shape so transfers, smoothers and stencils chain relayout-free."""
+
+    fine_lat: tuple      # (ny, nx) of the finer level
+    coarse_lat: tuple
+    shape: tuple         # (n_fine, n_coarse) dof counts
+
+    def mv(self, xc2):
+        from ..parallel.lattice import lattice_prolong
+
+        return lattice_prolong(xc2)
+
+    def rmv(self, xf2):
+        from ..parallel.lattice import lattice_restrict
+
+        return lattice_restrict(xf2)
+
+
+@dataclass
 class VectorProlongation:
     """Componentwise prolongation for component-major vector fields (the
     Stokes velocity block; 'vector constant modes' analog of the reference's
@@ -172,9 +196,12 @@ class GMG:
     def _coarse_solve(self, b):
         # precomputed dense inverse: ONE MXU matmul per V-cycle — triangular
         # lu_solve is sequential and latency-bound on TPU.  The matmul runs
-        # at the inverse's (full) precision.
-        return (self.coarse_inv @ b.astype(self.coarse_inv.dtype)).astype(
-            self.dtype)
+        # at the inverse's (full) precision.  In lattice mode ``b`` arrives
+        # lattice-shaped; the coarse level is tiny, so the flat round trip
+        # here costs nothing.
+        x = (self.coarse_inv @ b.reshape(-1).astype(
+            self.coarse_inv.dtype)).astype(self.dtype)
+        return x.reshape(b.shape)
 
     def _vcycle(self, li: int, b):
         level = self.levels[li]
@@ -215,7 +242,7 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
               n_levels: int | None = None, min_cells: int = 4,
               smoother_degree: int = 4, eig_ratio: float = 30.0,
               n_cycles: int = 1, lanczos_steps: int = 10,
-              n_comp: int = 1, dtype=None) -> GMG:
+              n_comp: int = 1, dtype=None, lattice: bool = False) -> GMG:
     """Build a GMG hierarchy.
 
     ``op_factory(space) -> (mv, diag)`` re-discretizes the (augmented)
@@ -224,6 +251,14 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
     Dirichlet mask; coarse masks are derived geometrically (same faces).
     ``n_comp > 1`` builds the vector variant (component-major fields, e.g.
     the Stokes velocity block).
+
+    ``lattice=True`` builds the LATTICE-RESIDENT cycle for 2D Q1 lattice
+    hierarchies: every level's vectors stay in lattice (ny, nx) shape —
+    ``op_factory`` must return lattice->lattice applies — and transfers use
+    :class:`LatticeTransfer2D`, so the whole V-cycle chains with zero
+    flat<->lattice relayouts (on TPU each such reshape of a non-lane-aligned
+    lattice is a full HBM round trip).  ``apply(b)`` then takes and returns
+    lattice-shaped arrays; the caller reshapes once at the solve boundary.
     """
     def coarsenable(sp):
         if hasattr(sp, "can_coarsen"):          # adaptive quadtree space
@@ -248,6 +283,10 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
         if not scalar_fine_mask[bd].any():
             constrained_ids.append(bid)
 
+    if lattice:
+        assert n_comp == 1 and all(
+            hasattr(sp, "n_points_1d") and sp.grid.dim == 2 for sp in spaces)
+
     levels = []
     for i, sp in enumerate(spaces):
         if i == 0:
@@ -257,8 +296,13 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
                 else np.ones(sp.n_dofs, dtype=bool)
             m = np.tile(m, n_comp)
             mask = jnp.asarray(m)
+        lat = tuple(reversed(sp.n_points_1d)) if lattice else None
+        if lattice:
+            mask = mask.reshape(lat)
         res = op_factory(sp)
         mv_raw, diag = res[0], res[1]
+        if lattice:
+            diag = diag.reshape(lat)
         # optional third element: a FUSED masked apply with the exact same
         # semantics as the wrap below (m*A(m*x) + (1-m)*x) — the Pallas
         # single-pass stencil kernel on TPU lattices (ops.pallas_kernels)
@@ -282,9 +326,16 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
         diag_inv = jnp.where(mask, 1.0 / diag, 1.0).astype(dt)
         # Lanczos eigenvalue estimation needs more precision than bf16 keeps
         lanc_dt = jnp.float32 if dt == jnp.bfloat16 else dt
+        if lattice:
+            # setup-time only: the flat round trip here costs nothing
+            def lanc_mv(v, mv=mv, di=diag_inv, lat=lat):
+                return (di * mv(v.reshape(lat).astype(dt))).reshape(
+                    -1).astype(lanc_dt)
+        else:
+            def lanc_mv(v, mv=mv, di=diag_inv):
+                return (di * mv(v.astype(dt))).astype(lanc_dt)
         lam = lanczos_max_eig(
-            lambda v, mv=mv, di=diag_inv: (di * mv(v.astype(dt))).astype(lanc_dt),
-            sp.n_dofs * n_comp, steps=lanczos_steps, dtype=lanc_dt)
+            lanc_mv, sp.n_dofs * n_comp, steps=lanczos_steps, dtype=lanc_dt)
         smoother = None
         if smoother_builder is not None:
             smoother = smoother_builder(lam, degree=smoother_degree,
@@ -294,7 +345,11 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
                                  eig_ratio=eig_ratio)
         if i > 0:
             finer = spaces[i - 1]
-            if sp.fe.degree == 1 and sp.continuous and hasattr(sp, "n_points_1d"):
+            if lattice:
+                prolong = LatticeTransfer2D(
+                    tuple(reversed(finer.n_points_1d)), lat,
+                    (finer.n_dofs, sp.n_dofs))
+            elif sp.fe.degree == 1 and sp.continuous and hasattr(sp, "n_points_1d"):
                 prolong = LatticeProlongation(
                     finer.n_points_1d, sp.n_points_1d,
                     (finer.n_dofs, sp.n_dofs))
@@ -314,6 +369,11 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
     inv_dt = jnp.float32 if levels[0].mask.dtype == jnp.bfloat16 \
         else levels[0].mask.dtype
     eye = jnp.eye(nco, dtype=levels[0].mask.dtype)
-    dense = jax.vmap(coarse.op, in_axes=1, out_axes=1)(eye).astype(inv_dt)
+    if lattice:
+        coarse_lat = tuple(reversed(coarse.space.n_points_1d))
+        col_op = (lambda col: coarse.op(col.reshape(coarse_lat)).reshape(-1))
+    else:
+        col_op = coarse.op
+    dense = jax.vmap(col_op, in_axes=1, out_axes=1)(eye).astype(inv_dt)
     inv = jnp.linalg.inv(dense)
     return GMG(levels, inv, n_cycles=n_cycles)
