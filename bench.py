@@ -159,6 +159,9 @@ def main():
             "solve_seconds": round(dt_s, 3),
             "throughput_mdof_iter_s": round(
                 small.space.n_dofs * max(it_s, 1) / dt_s / 1e6, 3),
+            # lattice-resident carrier here (fine <= LAT_MAX_FINE): the
+            # kernel chained the way this size's inner solve runs it
+            "stiffness_apply_gbs": round(_stiffness_gbs(small), 2),
         }
         # solve quality at the reference's tolerance (parameters/circle/*.prm
         # 'Schur solver control Tolerance = 1e-10'): mixed-precision iterative

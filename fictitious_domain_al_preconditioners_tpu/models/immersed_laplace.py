@@ -656,7 +656,16 @@ class ImmersedLaplaceProblem:
 
     def _build_rational(self):
         """MinRes + rational preconditioner diag(K⁻¹, (−Δ_Γ)^{-1/2})
-        (immersed_laplace.cc:585-635, rational_preconditioner.h)."""
+        (immersed_laplace.cc:585-635, rational_preconditioner.h).
+
+        In f32 (the TPU solve precision) the outer is FGMRES instead of
+        MinRes: the preconditioner's inner solves (tight K GMG-CG + 17
+        shifted pole CGs) stop on tolerances, so in single precision the
+        preconditioner varies visibly between outer iterations and MinRes —
+        which assumes a FIXED SPD preconditioner — stagnates (measured at
+        ref 5: 1000 iterations, residual stuck 20x above the 3e-5 stop;
+        flexible FGMRES converges in 22).  The f64 path keeps MinRes and the
+        reference-parity golden counts (tests/test_baseline_tables.py)."""
         from ..precond.rational import rational_preconditioner
 
         cfg = self.cfg
@@ -671,13 +680,20 @@ class ImmersedLaplaceProblem:
         prec = rational_preconditioner(layout, K_inv, self.A_imm, self.M,
                                        rho_bound)
         AA = block_operator(layout, layout, [[K_c, Ct_lin], [C_lin, None]])
+        f32 = jnp.zeros(0).dtype == jnp.float32
 
         def run(rhs_f, rhs_g, bc_values):
             b0 = dirichlet_rhs(K_lin, rhs_f, free, bc_values)
             b = layout.concat((b0, rhs_g))
-            x, info = minres(AA, b, prec, tol=cfg.schur.tolerance,
-                             reduction=cfg.schur.reduction,
-                             max_steps=cfg.schur.max_steps)
+            if f32:
+                x, info = fgmres(AA, b, prec, tol=cfg.schur.tolerance,
+                                 reduction=cfg.schur.reduction,
+                                 max_steps=cfg.schur.max_steps,
+                                 restart=cfg.fgmres_restart)
+            else:
+                x, info = minres(AA, b, prec, tol=cfg.schur.tolerance,
+                                 reduction=cfg.schur.reduction,
+                                 max_steps=cfg.schur.max_steps)
             u, lam = layout.split(x)
             u = jnp.where(free, u, bc_values)
             return u, lam, info
