@@ -429,13 +429,16 @@ class EllipticInterfaceProblem:
                     return self.A2_scale * self.A2.mv(x) + gamma_2 * x
 
             if n_fg <= 4000:
-                # dense LU of the surrogate (UMFPACK/AMG stand-in)
+                # dense inverse of the surrogate (UMFPACK/AMG stand-in):
+                # ONE MXU matmul per application — triangular lu_solve is
+                # sequential and latency-bound on TPU (same trade as the GMG
+                # coarse solve, precond/gmg.py)
                 eye = jnp.eye(n_fg, dtype=a22_diag.dtype)
                 dense = jax.vmap(a22_sur, in_axes=1, out_axes=1)(eye)
-                lu_piv = jax.scipy.linalg.lu_factor(dense)
+                inv22 = jnp.linalg.inv(dense)
 
                 def A22_prec(v):
-                    return jax.scipy.linalg.lu_solve(lu_piv, v)
+                    return inv22 @ v
             else:
                 from ..ops.krylov import lanczos_max_eig
                 from ..precond.chebyshev import chebyshev
