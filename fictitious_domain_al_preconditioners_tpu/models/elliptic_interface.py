@@ -354,23 +354,43 @@ class EllipticInterfaceProblem:
         if cfg.use_operator_form:
             Cpart = build_coupling(self.space, self.fg_space,
                                    order=2 * cfg.background_space_degree + 1)
-            AL11 = Cpart.particle_mass_term(gamma_1)
-            al11_diag = Cpart.particle_mass_diag(gamma_1)
+
+            def particle_al(Cp, sp):
+                # variable-coefficient 9-point patch stencil when the Q1
+                # lattice allows it (no gather/scatter in the hot applies —
+                # same trade as models/immersed_laplace); particle gather
+                # form otherwise
+                st = Cp.patch_stencil_al(sp, gamma_1)
+                if st is not None:
+                    return st
+                return (Cp.particle_mass_term(gamma_1),
+                        Cp.particle_mass_diag(gamma_1))
+
+            AL11, al11_diag = particle_al(Cpart, self.space)
 
             def al_factory(sp):
                 Cp = Cpart if sp is self.space else build_coupling(
                     sp, self.fg_space, order=2 * cfg.background_space_degree + 1)
-                return Cp.particle_mass_term(gamma_1), Cp.particle_mass_diag(gamma_1)
+                return particle_al(Cp, sp)
         else:
             AL11 = self.C.al_term(inv_w, gamma_1)
             al11_diag = self.C.al_term_diag(w_diag, gamma_1)
+            wd = jnp.asarray(w_diag)
 
             def al_factory(sp):
-                if sp is self.space:
-                    return AL11, al11_diag
-                Cl = build_coupling(sp, self.fg_space,
-                                    order=cfg.background_space_degree + 1)
-                return Cl.al_term(inv_w, gamma_1), Cl.al_term_diag(w_diag, gamma_1)
+                # GMG levels use the DIAG-WEIGHTED surrogate γ·Cᵀdiag(w)C —
+                # the reference's AMG is likewise built on the diag-weighted
+                # explicit augmented matrix (elliptic_interface.cc:821-851
+                # via utilities.h build_AMG_augmented_block_scalar), never on
+                # the exact W⁻¹ operator, which would nest M-solves inside
+                # every smoother apply.  The OUTER operator keeps exact AL11.
+                Cl = self.C if sp is self.space else build_coupling(
+                    sp, self.fg_space, order=cfg.background_space_degree + 1)
+
+                def mv(x, Cl=Cl):
+                    return gamma_1 * Cl.rmv(wd.astype(x.dtype) * Cl.mv(x))
+
+                return mv, Cl.al_term_diag(w_diag, gamma_1)
 
         A11_aug = constrain(A1_lin + AL11, free)
 

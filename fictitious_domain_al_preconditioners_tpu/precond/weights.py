@@ -33,11 +33,37 @@ def inv_diag_squared(M: CellMatrix) -> LinOp:
     return diag_op(1.0 / M.diag() ** 2)
 
 
+# Immersed matrices up to this size get a PRECOMPUTED dense inverse (host
+# f64) applied as one MXU matmul — the closest TPU analog of the reference's
+# UMFPACK factor-once/solve-cheap pattern.  A CG solve per W⁻¹ application
+# is ~30 sequential latency-bound ops on TPU; when W⁻¹ sits inside the
+# augmented operator of an inner CG (elliptic modified AL), that nesting
+# dominated the whole solve.
+DENSE_INV_MAX = 4096
+
+
+def _dense_inv(M: CellMatrix) -> np.ndarray:
+    rows, cols, vals = M.to_coo()
+    n = M.shape[0]
+    dense = np.zeros((n, n))
+    np.add.at(dense, (rows, cols), vals)
+    return np.linalg.inv(dense)
+
+
 def inv_exact(M: CellMatrix, tol: float = 0.0, reduction: float = 1e-14,
               max_steps: int = 1000, scale: float = 1.0) -> LinOp:
-    """W = M/scale solved exactly: Jacobi-CG to machine-level reduction
-    (UMFPACK M⁻¹ stand-in, immersed_laplace.cc:849-878).  ``scale`` supports
-    the h-scaled variant W = M/h² -> W⁻¹ = h²·M⁻¹."""
+    """W = M/scale solved exactly (UMFPACK M⁻¹ stand-in,
+    immersed_laplace.cc:849-878): precomputed dense inverse (one matmul per
+    apply) up to DENSE_INV_MAX dofs, Jacobi-CG to machine-level reduction
+    above.  ``scale`` supports the h-scaled variant W = M/h² -> W⁻¹ =
+    h²·M⁻¹."""
+    if M.shape[0] <= DENSE_INV_MAX:
+        inv = jnp.asarray(scale * _dense_inv(M))
+
+        def mv(x):
+            return inv.astype(x.dtype) @ x
+
+        return LinOp(mv, M.shape, mv, name="M^-1")
     dinv = 1.0 / M.diag()
 
     def mv(x):
@@ -49,7 +75,18 @@ def inv_exact(M: CellMatrix, tol: float = 0.0, reduction: float = 1e-14,
 
 
 def inv_squared_exact(M: CellMatrix, **kw) -> LinOp:
-    """W = M²: exact inverse applied twice (immersed_laplace.cc:875-878)."""
+    """W = M²: exact inverse applied twice (immersed_laplace.cc:875-878).
+    Small matrices fold both applications into ONE precomputed (M⁻¹)²
+    matmul."""
+    if M.shape[0] <= DENSE_INV_MAX:
+        scale = kw.get("scale", 1.0)
+        inv = _dense_inv(M)
+        inv2 = jnp.asarray(scale * scale * (inv @ inv))
+
+        def mv(x):
+            return inv2.astype(x.dtype) @ x
+
+        return LinOp(mv, M.shape, mv, name="M^-2")
     inv = inv_exact(M, **kw)
     return inv @ inv
 

@@ -209,16 +209,39 @@ def compute_row(kind, arg):
     raise ValueError(kind)
 
 
-def orchestrate():
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     "tables", ".results_tpu_rows.json")
+
+
+def orchestrate(only=None):
     """One subprocess per row: a row that ABORTS the TPU runtime (the axon
     worker shows shape-dependent faults even in plain XLA programs — e.g.
     the Stokes (5,6) row) kills only its own session; the table annotates it
-    and moves on."""
+    and moves on.
+
+    Rows are cached in tables/.results_tpu_rows.json after each run;
+    ``--only <kind-substring>`` re-runs just the matching rows and reuses
+    the cache for the rest (refreshing a family after a solver fix without
+    paying for the whole matrix again)."""
     import json
     import subprocess
 
     results = {}
+    if os.path.exists(CACHE):
+        with open(CACHE) as fh:
+            results = {tuple(k.split(":", 1)): v
+                       for k, v in json.load(fh).items()}
+
+    def save():
+        os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+        with open(CACHE, "w") as fh:
+            json.dump({f"{k}:{a}": v for (k, a), v in results.items()}, fh)
+
     for kind, arg in ROWSPECS:
+        if only is not None:
+            if not f"{kind}:{arg}".startswith(only):
+                if (kind, arg) in results:
+                    continue  # reuse cached row
         cmd = [sys.executable, os.path.abspath(__file__), "--row",
                f"{kind}:{arg}"]
         try:
@@ -235,6 +258,7 @@ def orchestrate():
         except subprocess.TimeoutExpired:
             results[(kind, arg)] = None
             print(f"{kind}:{arg} TIMEOUT", flush=True)
+        save()
     return results
 
 
@@ -256,7 +280,10 @@ def main():
         print("ROW " + json.dumps(list(row)))
         return
 
-    results = orchestrate()
+    only = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = sys.argv[2]
+    results = orchestrate(only=only)
 
     def get(kind, args):
         return [results.get((kind, a)) for a in args]
