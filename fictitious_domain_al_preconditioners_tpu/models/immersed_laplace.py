@@ -681,6 +681,11 @@ class ImmersedLaplaceProblem:
                                        rho_bound)
         AA = block_operator(layout, layout, [[K_c, Ct_lin], [C_lin, None]])
         f32 = jnp.zeros(0).dtype == jnp.float32
+        # restart truncation stalls the f32 rational FGMRES near its
+        # precision floor (measured ref 8: 244 iterations at restart 50 vs
+        # 42 at 200); keep a generous basis within a ~2 GB memory budget
+        restart = max(cfg.fgmres_restart,
+                      min(200, int(2e9 / (4 * max(layout.total, 1)))))
 
         def run(rhs_f, rhs_g, bc_values):
             b0 = dirichlet_rhs(K_lin, rhs_f, free, bc_values)
@@ -689,7 +694,7 @@ class ImmersedLaplaceProblem:
                 x, info = fgmres(AA, b, prec, tol=cfg.schur.tolerance,
                                  reduction=cfg.schur.reduction,
                                  max_steps=cfg.schur.max_steps,
-                                 restart=cfg.fgmres_restart)
+                                 restart=restart)
             else:
                 x, info = minres(AA, b, prec, tol=cfg.schur.tolerance,
                                  reduction=cfg.schur.reduction,

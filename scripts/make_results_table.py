@@ -312,7 +312,10 @@ def main():
         fmt_with_failures(get("refined", ["9", "10"]), fmt_refined,
                           "({n} row(s) aborted by a runtime fault)"),
         "",
-        "## immersed_laplace, `rational` (MinRes + AAA fractional prec), f=0 g=1 circle",
+        "## immersed_laplace, `rational` (AAA fractional prec), f=0 g=1 circle",
+        "",
+        "f32 outer is FGMRES, f64 is MinRes — see",
+        "models/immersed_laplace._build_rational for the why.",
         "",
         fmt_with_failures(get("rational", ["5", "6", "7", "8", "9"]), fmt,
                           "({n} row(s) aborted by a runtime fault)"),
