@@ -455,7 +455,10 @@ class EllipticInterfaceProblem:
                 # coarse solve, precond/gmg.py)
                 eye = jnp.eye(n_fg, dtype=a22_diag.dtype)
                 dense = jax.vmap(a22_sur, in_axes=1, out_axes=1)(eye)
-                inv22 = jnp.linalg.inv(dense)
+                # host f64 inversion (TPU XLA lacks f64 LuDecomposition)
+                inv22 = jnp.asarray(np.linalg.inv(
+                    np.asarray(dense, dtype=np.float64))).astype(
+                        a22_diag.dtype)
 
                 def A22_prec(v):
                     return inv22 @ v

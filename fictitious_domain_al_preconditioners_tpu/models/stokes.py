@@ -487,10 +487,39 @@ class StokesProblem:
 
         gmg = self._gmg_velocity(True, gamma, w_diag_scalar)
 
+        # The inner CG runs in SYMMETRICALLY DIAG-SCALED variables
+        # (Ã = D^-1/2 A D^-1/2): the AL term's diagonal on the Γ-band scales
+        # like γ/diag(M_Γ)² ≈ 1e4-1e6 against the O(1) viscous block, and at
+        # embedded refinement >= 6 that disparity makes plain f32 CG DIVERGE
+        # (measured on the v5e: residual 91 -> 1.2e6 in 500 iterations,
+        # preconditioned or not; the scaled iteration converges).  In exact
+        # arithmetic the scaled PCG is identical to the unscaled one —
+        # f64 iteration counts are unchanged.
+        aug_diag = (self.A.diag() +
+                    VectorCoupling(self.Cs, sd).al_term_diag(
+                        w_diag_scalar, gamma))
+        dsc = jnp.where(free, 1.0 / jnp.sqrt(aug_diag), 1.0)
+        dsc_inv = jnp.where(free, jnp.sqrt(aug_diag), 1.0)
+
+        # In f32 the absolute AL tolerance can sit BELOW the reachable
+        # residual level of this ill-scaled block; CG pushed past its
+        # breakdown point diverges and returns garbage (measured: res0 30 ->
+        # 7e4 at 200 steps).  A reduction floor stops at the best f32 can do;
+        # f64 keeps the reference's absolute-control semantics untouched.
+        f32 = jnp.zeros(0).dtype == jnp.float32
+        inner_red = 1e-2 if f32 else None
+
         def aug_inv(v):
-            x, _ = cg(aug_mv, v, M=gmg.apply, tol=cfg.al.tolerance,
+            def A_s(y):
+                return dsc * aug_mv(dsc * y)
+
+            def M_s(r):
+                return dsc_inv * gmg.apply(dsc_inv * r)
+
+            x, _ = cg(A_s, dsc * v, M=M_s, tol=cfg.al.tolerance,
+                      reduction=inner_red,
                       max_steps=cfg.al.max_iterations)
-            return x
+            return dsc * x
 
         AA = block_operator(layout, layout, [
             [LinOp(aug_mv, (layout.sizes[0],) * 2), Bt_lin, Ct_lin],

@@ -374,6 +374,10 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
         col_op = (lambda col: coarse.op(col.reshape(coarse_lat)).reshape(-1))
     else:
         col_op = coarse.op
-    dense = jax.vmap(col_op, in_axes=1, out_axes=1)(eye).astype(inv_dt)
-    inv = jnp.linalg.inv(dense)
+    dense = jax.vmap(col_op, in_axes=1, out_axes=1)(eye)
+    # invert on the HOST in f64: setup-time only, more accurate than the
+    # on-device factorization, and TPU XLA implements LuDecomposition for
+    # f32 only (x64 runs would fail to compile)
+    inv = jnp.asarray(
+        np.linalg.inv(np.asarray(dense, dtype=np.float64))).astype(inv_dt)
     return GMG(levels, inv, n_cycles=n_cycles)

@@ -244,9 +244,16 @@ def orchestrate(only=None):
                     continue  # reuse cached row
         cmd = [sys.executable, os.path.abspath(__file__), "--row",
                f"{kind}:{arg}"]
+        env = dict(os.environ)
+        if kind == "stokes":
+            # small systems, run at the reference's precision: the IBStokesAL
+            # augmented block's diagonal spans ~1e5 (γ/diag(M_Γ)² on the band
+            # vs O(1) viscous), beyond f32 Krylov at embedded refinement >= 6
+            # even with symmetric diagonal scaling (models/stokes.py aug_inv)
+            env["JAX_ENABLE_X64"] = "1"
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=2400)
+                               timeout=2400, env=env)
             line = [l for l in r.stdout.splitlines() if l.startswith("ROW ")]
             if r.returncode == 0 and line:
                 results[(kind, arg)] = json.loads(line[-1][4:])
@@ -325,13 +332,14 @@ def main():
         fmt_with_failures(get("elliptic", ["0", "1", "2"]), fmt,
                           "({n} row(s) aborted by a runtime fault)"),
         "",
-        "## stokes_immersed_boundary 2D, IBStokesAL (grad-div, diag mass)",
+        "## stokes_immersed_boundary 2D, IBStokesAL (grad-div, diag mass) — f64",
+        "",
+        "Run at the reference's precision (f64 on-chip; small systems): the",
+        "augmented block's diagonal spans ~1e5, beyond f32 Krylov at embedded",
+        "refinement >= 6 even with symmetric diagonal scaling.",
         "",
         fmt_with_failures(get("stokes", ["4:5", "5:6", "6:7"]), fmt,
-                          "({n} row(s) aborted by a runtime fault on the "
-                          "tunneled v5e — plain XLA program, reproduced in "
-                          "isolation; passes on the CPU backend "
-                          "(tests/test_stokes.py))"),
+                          "({n} row(s) failed)"),
         "",
     ]
     os.makedirs("tables", exist_ok=True)
