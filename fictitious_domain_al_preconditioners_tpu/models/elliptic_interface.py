@@ -297,6 +297,42 @@ class EllipticInterfaceProblem:
 
         return LinOp(mv, cm.shape, mv)
 
+    @staticmethod
+    def _lat_ok(sp) -> bool:
+        return (sp is not None and sp.fe.degree == 1 and sp.continuous
+                and hasattr(sp, "n_points_1d"))
+
+    def _lap_apply(self, sp, cm):
+        """Q1 stiffness apply as separable lattice stencils — no
+        gather/scatter in the hot loops (the models/immersed_laplace._k_apply
+        trade; element scatters in f64 dominated the elliptic solve on TPU).
+        Falls back to the assembled element form off-lattice."""
+        if self._lat_ok(sp):
+            from ..parallel.lattice import LatticeOps, flat_to_lattice, to_flat
+
+            lat = LatticeOps.for_space(sp)
+            shape = sp.n_points_1d
+
+            def mv(x):
+                return to_flat(lat.laplace(flat_to_lattice(x, shape)))
+
+            return mv
+        return cm.mv
+
+    def _mass_apply(self, sp, cm):
+        """Q1 mass apply as separable lattice stencils (see _lap_apply)."""
+        if self._lat_ok(sp):
+            from ..parallel.lattice import LatticeOps, flat_to_lattice, to_flat
+
+            lat = LatticeOps.for_space(sp)
+            shape = sp.n_points_1d
+
+            def mv(x):
+                return to_flat(lat.mass(flat_to_lattice(x, shape)))
+
+            return mv
+        return cm.mv
+
     def solve(self):
         cfg = self.cfg
         key = (round(self.gamma_bg, 12), round(self.gamma_imm, 12),
@@ -330,9 +366,19 @@ class EllipticInterfaceProblem:
             gamma_1 = gamma_1 / h_imm ** 2
             gamma_2 = gamma_2 / h_imm ** 2
 
-        A1_lin = self._beta_scaled(self.A1, self.beta_1)
-        A2_lin = self._beta_scaled(self.A2, self.A2_scale)
-        M_lin = self.M.as_linop()
+        a1_mv = self._lap_apply(self.space, self.A1)
+        A1_lin = LinOp(lambda x: self.beta_1 * a1_mv(x), self.A1.shape,
+                       lambda x: self.beta_1 * a1_mv(x))
+        a2_mv = (self._lap_apply(self.fg_gridspace, self.A2)
+                 if self._lat_ok(self.fg_gridspace) else self.A2.mv)
+        A2_lin = LinOp(lambda x: self.A2_scale * a2_mv(x), self.A2.shape,
+                       lambda x: self.A2_scale * a2_mv(x))
+        # the immersed mesh mirrors its lattice twin's numbering when
+        # fg_gridspace exists (uniform box), so the lattice mass/stiffness
+        # applies are the SAME matrices without the element gather/scatter
+        m_mv = (self._mass_apply(self.fg_gridspace, self.M)
+                if self._lat_ok(self.fg_gridspace) else self.M.mv)
+        M_lin = LinOp(m_mv, self.M.shape, m_mv)
         C_lin = LinOp(self.C.mv, self.C.shape, self.C.rmv)
         Ct_lin = C_lin.T
         free = self.free
@@ -397,10 +443,11 @@ class EllipticInterfaceProblem:
         def a11_factory(sp):
             K_l = self.A1 if sp is self.space else laplace_matrix(
                 sp, order=cfg.background_space_degree + 1)
+            k_mv = self._lap_apply(sp, K_l)
             al_mv, al_diag = al_factory(sp)
 
             def mv(x):
-                return self.beta_1 * K_l.mv(x) + al_mv(x)
+                return self.beta_1 * k_mv(x) + al_mv(x)
 
             return mv, self.beta_1 * K_l.diag() + al_diag
 
@@ -418,18 +465,20 @@ class EllipticInterfaceProblem:
         if self.fg_gridspace is not None:
             def a22_factory(sp):
                 K_l = laplace_matrix(sp, order=cfg.immersed_space_degree + 1)
+                k_mv = self._lap_apply(sp, K_l)
                 if use_mass_surrogate:
                     from ..ops.assembly import mass_matrix as _mm
 
                     M_l = _mm(sp, order=cfg.immersed_space_degree + 1)
+                    m_mv_l = self._mass_apply(sp, M_l)
 
                     def mv(x):
-                        return self.A2_scale * K_l.mv(x) + gamma_2 * M_l.mv(x)
+                        return self.A2_scale * k_mv(x) + gamma_2 * m_mv_l(x)
 
                     return mv, self.A2_scale * K_l.diag() + gamma_2 * M_l.diag()
 
                 def mv(x):
-                    return self.A2_scale * K_l.mv(x) + gamma_2 * x
+                    return self.A2_scale * k_mv(x) + gamma_2 * x
 
                 return mv, self.A2_scale * K_l.diag() + gamma_2
 

@@ -320,19 +320,20 @@ class ImmersedLaplaceProblem:
         "FDAL_FUSED_MIN_FINE", "512"))
 
     # Maximum fine-lattice extent for the LATTICE-RESIDENT inner solve on
-    # TPU.  At fine 4097 (ref 12) the composition "CG while_loop whose body
-    # holds BOTH the fine Pallas stencil (A) and the multi-level Pallas GMG
-    # (M) on 2D lattice carries" crashes the v5e worker at runtime.  Bisected
-    # on hardware: A alone in CG passes, GMG alone in a loop passes, the
-    # combination crashes; NOT the AL patch (crashes with A = stencil only),
-    # NOT dynamic-update-slice (pad-embed variant crashes), NOT band height
-    # (T=256/128/96 all crash), NOT duplicate kernel instances (lru-shared
-    # instance crashes), NOT hierarchy depth alone; the same program with the
-    # stencil forced to its XLA form passes, and the SAME composition on
-    # 2049 and 1025 lattices passes.  In flat mode every Pallas call is
-    # sandwiched by flat<->lattice relayout copies and ref 12 works — so
-    # above this size the solver keeps the (proven) flat composition and
-    # pays the relayouts.
+    # TPU.  At fine 4097 (ref 12) ANY Pallas kernel inside the composed
+    # CG-while + GMG program on 2D lattice carries crashes the v5e worker at
+    # runtime.  Bisected on hardware: A alone in CG passes, GMG alone in a
+    # loop passes, the combination crashes; NOT the AL patch (crashes with
+    # A = stencil only), NOT dynamic-update-slice (pad-embed variant
+    # crashes), NOT band height (T=256/128/96 all crash), NOT duplicate
+    # kernel instances (lru-shared instance crashes), NOT hierarchy depth
+    # alone, NOT the masked stencil kernel specifically (swapping it to XLA
+    # while keeping the fused-Chebyshev Pallas smoothers still crashes);
+    # the same program with ALL kernels in XLA form passes, and the SAME
+    # composition on 2049 and 1025 lattices passes.  In flat mode every
+    # Pallas call is sandwiched by flat<->lattice relayout copies and ref 12
+    # works — so above this size the solver keeps the (proven) flat
+    # composition and pays the relayouts.
     LAT_MAX_FINE = int(os.environ.get("FDAL_LAT_MAX_FINE", "4096"))
 
     def _lat_mode_ok(self) -> bool:

@@ -191,6 +191,7 @@ ROWSPECS = [
     ("rational", "8"), ("rational", "9"),
     ("elliptic", "0"), ("elliptic", "1"), ("elliptic", "2"),
     ("stokes", "4:5"), ("stokes", "5:6"), ("stokes", "6:7"),
+    ("stokes", "7:8"),
 ]
 
 
@@ -245,7 +246,7 @@ def orchestrate(only=None):
         cmd = [sys.executable, os.path.abspath(__file__), "--row",
                f"{kind}:{arg}"]
         env = dict(os.environ)
-        if kind == "stokes":
+        if kind in ("stokes", "elliptic"):
             # small systems, run at the reference's precision: the IBStokesAL
             # augmented block's diagonal spans ~1e5 (γ/diag(M_Γ)² on the band
             # vs O(1) viscous), beyond f32 Krylov at embedded refinement >= 6
@@ -327,7 +328,11 @@ def main():
         fmt_with_failures(get("rational", ["5", "6", "7", "8", "9"]), fmt,
                           "({n} row(s) aborted by a runtime fault)"),
         "",
-        "## elliptic_interface, modified AL, beta jump 1e3 (3 cycles)",
+        "## elliptic_interface, modified AL, beta jump 1e3 — f64",
+        "",
+        "Run at the reference's precision (f64 on-chip; small systems): the",
+        "AL term's γ/h² scaling grows 4x per refinement cycle and exceeds",
+        "f32 Krylov from cycle 3 on.",
         "",
         fmt_with_failures(get("elliptic", ["0", "1", "2"]), fmt,
                           "({n} row(s) aborted by a runtime fault)"),
@@ -338,7 +343,7 @@ def main():
         "augmented block's diagonal spans ~1e5, beyond f32 Krylov at embedded",
         "refinement >= 6 even with symmetric diagonal scaling.",
         "",
-        fmt_with_failures(get("stokes", ["4:5", "5:6", "6:7"]), fmt,
+        fmt_with_failures(get("stokes", ["4:5", "5:6", "6:7", "7:8"]), fmt,
                           "({n} row(s) failed)"),
         "",
     ]
