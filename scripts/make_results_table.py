@@ -170,11 +170,66 @@ def refined_rows(refs):
     return rows
 
 
+
+
+def nitsche_rows(cycles):
+    """Boundary-multiplier Dirichlet (nitsche_bcs.cc): outer FGMRES + AL
+    particle augmentation; per-outer inner-CG accounting mirrors the
+    reference's solver-signal metric (nitsche_bcs.cc:652-667)."""
+    from fictitious_domain_al_preconditioners_tpu.models import (
+        NitscheConfig, NitscheProblem,
+    )
+
+    rows = []
+    for cyc in range(cycles):
+        cfg = NitscheConfig(use_manufactured_solution=True)
+        prob = NitscheProblem(cfg)
+        prob.setup(cyc)
+        prob.solve()
+        t0 = time.perf_counter()
+        its = prob.solve()
+        dt = time.perf_counter() - t0
+        rows.append((prob.space.n_dofs, prob.mult_space.n_dofs, its, dt,
+                     prob.results["inner_cg_per_outer"]))
+        print("nitsche", rows[-1], flush=True)
+    return rows
+
+
+def elasticity_rows(cycles):
+    """3D elasticity interface (reconstructed executable; modified AL)."""
+    from fictitious_domain_al_preconditioners_tpu.models import (
+        ElasticityInterfaceConfig, ElasticityInterfaceProblem,
+    )
+
+    rows = []
+    for cyc in range(cycles):
+        cfg = ElasticityInterfaceConfig()
+        prob = ElasticityInterfaceProblem(cfg)
+        prob.setup(cyc)
+        prob.solve()
+        t0 = time.perf_counter()
+        its = prob.solve()
+        dt = time.perf_counter() - t0
+        rows.append((prob.results["dofs_background"],
+                     prob.results["dofs_immersed"], its, dt,
+                     prob.constraint_residual()))
+        print("elasticity", rows[-1], flush=True)
+    return rows
+
+
 def fmt_refined(rows):
     out = ["| DoF (background) | DoF (immersed) | total outer its | refine steps | true f64 residual | wall [s] |",
            "|---|---|---|---|---|---|"]
     for n, m, it, ks, res, dt in rows:
         out.append(f"| {n:,} | {m:,} | {it} | {ks} | {res:.1e} | {dt:.2f} |")
+    return "\n".join(out)
+
+
+def fmt_nitsche(rows):
+    out = ["| DoF (bulk) | DoF (multiplier) | outer iterations | solve [s] | inner CG / outer |",
+           "|---|---|---|---|---|"]
+    for n, m, it, dt, icpo in rows:
+        out.append(f"| {n:,} | {m:,} | {it} | {dt:.3f} | {icpo:.1f} |")
     return "\n".join(out)
 
 
@@ -195,6 +250,8 @@ ROWSPECS = [
     ("elliptic", "0"), ("elliptic", "1"), ("elliptic", "2"),
     ("stokes", "4:5"), ("stokes", "5:6"), ("stokes", "6:7"),
     ("stokes", "7:8"),
+    ("nitsche", "0"), ("nitsche", "1"), ("nitsche", "2"),
+    ("elasticity", "0"),
 ]
 
 
@@ -210,6 +267,10 @@ def compute_row(kind, arg):
     if kind == "stokes":
         r, e = arg.split(":")
         return stokes_rows([(int(r), int(e))])[0]
+    if kind == "nitsche":
+        return nitsche_rows(int(arg) + 1)[-1]
+    if kind == "elasticity":
+        return elasticity_rows(int(arg) + 1)[-1]
     raise ValueError(kind)
 
 
@@ -249,7 +310,7 @@ def orchestrate(only=None):
         cmd = [sys.executable, os.path.abspath(__file__), "--row",
                f"{kind}:{arg}"]
         env = dict(os.environ)
-        if kind in ("stokes", "elliptic"):
+        if kind in ("stokes", "elliptic", "nitsche", "elasticity"):
             # small systems, run at the reference's precision: the IBStokesAL
             # augmented block's diagonal spans ~1e5 (γ/diag(M_Γ)² on the band
             # vs O(1) viscous), beyond f32 Krylov at embedded refinement >= 6
@@ -351,6 +412,19 @@ def main():
         "refinement >= 6 even with symmetric diagonal scaling.",
         "",
         fmt_with_failures(get("stokes", ["4:5", "5:6", "6:7", "7:8"]), fmt,
+                          "({n} row(s) failed)"),
+        "",
+        "## nitsche_bcs (boundary-multiplier Dirichlet), manufactured solution — f64",
+        "",
+        "Last column: inner CG iterations per outer FGMRES iteration (the",
+        "reference's per-outer accounting, nitsche_bcs.cc:652-667).",
+        "",
+        fmt_with_failures(get("nitsche", ["0", "1", "2"]), fmt_nitsche,
+                          "({n} row(s) failed)"),
+        "",
+        "## elliptic_interface_elasticity 3D (reconstructed; modified AL) — f64",
+        "",
+        fmt_with_failures(get("elasticity", ["0"]), fmt,
                           "({n} row(s) failed)"),
         "",
     ]
