@@ -369,15 +369,14 @@ class EllipticInterfaceProblem:
         a1_mv = self._lap_apply(self.space, self.A1)
         A1_lin = LinOp(lambda x: self.beta_1 * a1_mv(x), self.A1.shape,
                        lambda x: self.beta_1 * a1_mv(x))
-        a2_mv = (self._lap_apply(self.fg_gridspace, self.A2)
-                 if self._lat_ok(self.fg_gridspace) else self.A2.mv)
+        a2_mv = self._lap_apply(self.fg_gridspace, self.A2)
         A2_lin = LinOp(lambda x: self.A2_scale * a2_mv(x), self.A2.shape,
                        lambda x: self.A2_scale * a2_mv(x))
         # the immersed mesh mirrors its lattice twin's numbering when
         # fg_gridspace exists (uniform box), so the lattice mass/stiffness
         # applies are the SAME matrices without the element gather/scatter
-        m_mv = (self._mass_apply(self.fg_gridspace, self.M)
-                if self._lat_ok(self.fg_gridspace) else self.M.mv)
+        # (_lap_apply/_mass_apply fall back to cm.mv internally off-lattice)
+        m_mv = self._mass_apply(self.fg_gridspace, self.M)
         M_lin = LinOp(m_mv, self.M.shape, m_mv)
         C_lin = LinOp(self.C.mv, self.C.shape, self.C.rmv)
         Ct_lin = C_lin.T

@@ -684,9 +684,12 @@ class ImmersedLaplaceProblem:
         f32 = jnp.zeros(0).dtype == jnp.float32
         # restart truncation stalls the f32 rational FGMRES near its
         # precision floor (measured ref 8: 244 iterations at restart 50 vs
-        # 42 at 200); keep a generous basis within a ~2 GB memory budget
-        restart = max(cfg.fgmres_restart,
-                      min(200, int(2e9 / (4 * max(layout.total, 1)))))
+        # 42 at 200); keep a generous basis within a ~2 GB memory budget,
+        # but ALSO hard-cap by memory so huge layouts can't blow past it
+        # (FGMRES stores both the V and Z bases: ~8 bytes/dof per vector)
+        budget = min(200, int(2e9 / (4 * max(layout.total, 1))))
+        hard_cap = max(8, int(6e9 / (8 * max(layout.total, 1))))
+        restart = min(max(cfg.fgmres_restart, budget), hard_cap)
 
         def run(rhs_f, rhs_g, bc_values):
             b0 = dirichlet_rhs(K_lin, rhs_f, free, bc_values)

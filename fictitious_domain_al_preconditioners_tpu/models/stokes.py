@@ -516,9 +516,14 @@ class StokesProblem:
             def M_s(r):
                 return dsc_inv * gmg.apply(dsc_inv * r)
 
+            # The scaled residual is r_s = dsc * r, so checking
+            # ||dsc_inv * r_s|| stops on the ORIGINAL system's residual —
+            # the scaling changes the iteration's arithmetic only, not the
+            # absolute-control stopping semantics of cfg.al.tolerance.
             x, _ = cg(A_s, dsc * v, M=M_s, tol=cfg.al.tolerance,
                       reduction=inner_red,
-                      max_steps=cfg.al.max_iterations)
+                      max_steps=cfg.al.max_iterations,
+                      norm_weight=dsc_inv)
             return dsc * x
 
         AA = block_operator(layout, layout, [

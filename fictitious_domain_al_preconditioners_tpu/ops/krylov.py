@@ -56,15 +56,20 @@ def _threshold(tol, reduction, res0):
 def cg(A: Callable, b, M: Optional[Callable] = None, x0=None, *,
        tol: float = 1e-10, reduction: float | None = None,
        max_steps: int = 100, fixed_iters: bool = False,
-       track_tridiag: bool = False):
+       track_tridiag: bool = False, norm_weight=None):
     """Preconditioned conjugate gradients.  Returns (x, SolveInfo[, (alphas,
     betas)]).  With ``track_tridiag`` the CG Lanczos coefficients are recorded
     for condition-number estimation (the reference's condition-number slot,
-    immersed_laplace.cc:987-1010)."""
+    immersed_laplace.cc:987-1010).  ``norm_weight`` (optional vector) changes
+    only the CONVERGENCE-CHECK norm to ``||norm_weight * r||`` — used by
+    callers iterating in rescaled variables to keep the original system's
+    stopping semantics (e.g. the Stokes diag-scaled inner solve)."""
     M = M or (lambda x: x)
+    _cnorm = (_norm if norm_weight is None
+              else (lambda rr: _norm(norm_weight * rr)))
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - A(x)
-    res0 = _norm(r)
+    res0 = _cnorm(r)
     thr = _threshold(tol, reduction, res0)
     z = M(r)
     p = z
@@ -83,7 +88,7 @@ def cg(A: Callable, b, M: Optional[Callable] = None, x0=None, *,
         alpha = rz / pAp
         x = x + alpha * p
         r = r - alpha * Ap
-        res = _norm(r)
+        res = _cnorm(r)
         z = M(r)
         rz_new = _dot(r, z)
         beta = rz_new / rz

@@ -41,6 +41,8 @@ def inv_diag_squared(M: CellMatrix) -> LinOp:
 # dominated the whole solve.
 DENSE_INV_MAX = 4096
 
+_DENSE_OVERRIDE_LOGGED = False
+
 
 def _dense_inv(M: CellMatrix) -> np.ndarray:
     rows, cols, vals = M.to_coo()
@@ -56,8 +58,16 @@ def inv_exact(M: CellMatrix, tol: float = 0.0, reduction: float = 1e-14,
     immersed_laplace.cc:849-878): precomputed dense inverse (one matmul per
     apply) up to DENSE_INV_MAX dofs, Jacobi-CG to machine-level reduction
     above.  ``scale`` supports the h-scaled variant W = M/h² -> W⁻¹ =
-    h²·M⁻¹."""
+    h²·M⁻¹.  The dense path supersedes any tol/reduction/max_steps passed
+    (it is exact, i.e. strictly tighter than any CG control); that
+    precedence is logged once when non-default controls are overridden."""
     if M.shape[0] <= DENSE_INV_MAX:
+        if (tol, reduction, max_steps) != (0.0, 1e-14, 1000):
+            global _DENSE_OVERRIDE_LOGGED
+            if not _DENSE_OVERRIDE_LOGGED:
+                _DENSE_OVERRIDE_LOGGED = True
+                print("inv_exact: n <= DENSE_INV_MAX -> exact dense inverse; "
+                      "explicit solve controls are superseded", flush=True)
         inv = jnp.asarray(scale * _dense_inv(M))
 
         def mv(x):

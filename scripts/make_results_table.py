@@ -278,24 +278,43 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                      "tables", ".results_tpu_rows.json")
 
 
+def _git_head():
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except OSError:
+        return None
+
+
 def orchestrate(only=None):
     """One subprocess per row: a row that ABORTS the TPU runtime (the axon
     worker shows shape-dependent faults even in plain XLA programs — e.g.
     the Stokes (5,6) row) kills only its own session; the table annotates it
     and moves on.
 
-    Rows are cached in tables/.results_tpu_rows.json after each run;
-    ``--only <kind-substring>`` re-runs just the matching rows and reuses
-    the cache for the rest (refreshing a family after a solver fix without
-    paying for the whole matrix again)."""
+    Rows are cached in tables/.results_tpu_rows.json after each run, each
+    stamped with the git HEAD at measurement time; ``--only <prefix>``
+    re-runs just the rows whose ``kind:arg`` key starts with the prefix and
+    reuses the cache for the rest (refreshing a family after a solver fix
+    without paying for the whole matrix again).  Reused rows measured at an
+    older HEAD are warned about here and annotated in the table footer."""
     import json
     import subprocess
 
+    head = _git_head()
     results = {}
     if os.path.exists(CACHE):
         with open(CACHE) as fh:
-            results = {tuple(k.split(":", 1)): v
-                       for k, v in json.load(fh).items()}
+            for k, v in json.load(fh).items():
+                # old-format entries were bare row lists with no git stamp
+                if not (isinstance(v, dict) and "row" in v):
+                    v = {"row": v, "git": None}
+                results[tuple(k.split(":", 1))] = v
 
     def save():
         os.makedirs(os.path.dirname(CACHE), exist_ok=True)
@@ -306,6 +325,11 @@ def orchestrate(only=None):
         if only is not None:
             if not f"{kind}:{arg}".startswith(only):
                 if (kind, arg) in results:
+                    ent = results[(kind, arg)]
+                    if ent.get("git") != head:
+                        print(f"{kind}:{arg} reusing STALE cached row "
+                              f"(measured at {ent.get('git') or 'unknown'}, "
+                              f"HEAD is {head})", flush=True)
                     continue  # reuse cached row
         cmd = [sys.executable, os.path.abspath(__file__), "--row",
                f"{kind}:{arg}"]
@@ -321,17 +345,19 @@ def orchestrate(only=None):
                                timeout=2400, env=env)
             line = [l for l in r.stdout.splitlines() if l.startswith("ROW ")]
             if r.returncode == 0 and line:
-                results[(kind, arg)] = json.loads(line[-1][4:])
-                print(f"{kind}:{arg} -> {results[(kind, arg)]}", flush=True)
+                results[(kind, arg)] = {"row": json.loads(line[-1][4:]),
+                                        "git": head}
+                print(f"{kind}:{arg} -> {results[(kind, arg)]['row']}",
+                      flush=True)
             else:
-                results[(kind, arg)] = None
+                results[(kind, arg)] = {"row": None, "git": head}
                 print(f"{kind}:{arg} FAILED rc={r.returncode} "
                       f"{r.stderr[-200:]}", flush=True)
         except subprocess.TimeoutExpired:
-            results[(kind, arg)] = None
+            results[(kind, arg)] = {"row": None, "git": head}
             print(f"{kind}:{arg} TIMEOUT", flush=True)
         save()
-    return results
+    return results, head
 
 
 def fmt_with_failures(rows, formatter, failed_note):
@@ -355,10 +381,13 @@ def main():
     only = None
     if len(sys.argv) > 2 and sys.argv[1] == "--only":
         only = sys.argv[2]
-    results = orchestrate(only=only)
+    results, head = orchestrate(only=only)
 
     def get(kind, args):
-        return [results.get((kind, a)) for a in args]
+        return [(results.get((kind, a)) or {}).get("row") for a in args]
+
+    stale = sorted(f"{k}:{a}" for (k, a), v in results.items()
+                   if v.get("git") != head)
 
     dev = str(jax.devices()[0])
     parts = [
@@ -428,6 +457,10 @@ def main():
                           "({n} row(s) failed)"),
         "",
     ]
+    parts.append(f"Measured at git {head}." if not stale else
+                 f"Measured at git {head}, except rows reused from an "
+                 f"older HEAD's cache: {', '.join(stale)}.")
+    parts.append("")
     os.makedirs("tables", exist_ok=True)
     with open("tables/results_tpu.md", "w") as fh:
         fh.write("\n".join(parts))
