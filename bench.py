@@ -95,13 +95,14 @@ def _stiffness_gbs(prob):
     import jax.numpy as jnp
     from jax import lax
 
-    k_lat = (prob._fused_masked_k_lat(prob.space)
+    phys = prob._lat_phys(prob.space) if prob._lat_mode_ok() else None
+    k_lat = (prob._fused_masked_k_lat(prob.space, phys=phys)
              if prob._lat_mode_ok() else None)
     k_mv = k_lat or (prob._fused_masked_k(prob.space) or
                      prob._k_apply(prob.space, prob.K))
     dofs = prob.space.n_dofs
-    carry_shape = (tuple(reversed(prob.space.n_points_1d)) if k_lat
-                   else (dofs,))
+    carry_shape = ((phys or tuple(reversed(prob.space.n_points_1d)))
+                   if k_lat else (dofs,))
 
     # PURE chain: a rescaling link would add one elementwise HBM round trip
     # per apply (+2 fields, halving the reported number); iterates overflow

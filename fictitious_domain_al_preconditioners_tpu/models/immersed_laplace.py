@@ -235,32 +235,47 @@ class ImmersedLaplaceProblem:
         UMFPACK/AMG-exact-inverse stand-in.  Lattice-resident on 2D Q1
         lattices (the inner CG + GMG chain on (ny, nx) arrays; the flat
         boundary is crossed once per K_inv call)."""
-        f2_lat = (self._fused_masked_k_lat(self.space)
+        phys = self._lat_phys(self.space) if self._lat_mode_ok() else None
+        f2_lat = (self._fused_masked_k_lat(self.space, phys=phys)
                   if self._lat_mode_ok() else None)
         if f2_lat is not None:
             from ..parallel.lattice import flat_to_lattice, to_flat
 
             shape = self.space.n_points_1d
+            lat = tuple(reversed(shape))
+
+            def _padk(x2):
+                if phys is None:
+                    return x2
+                return jnp.pad(x2, ((0, phys[0] - lat[0]),
+                                    (0, phys[1] - lat[1])))
+
+            def _unpadk(x2):
+                return x2 if phys is None else x2[:lat[0], :lat[1]]
 
             def factory_lat(sp):
                 K_l = self.K if sp is self.space else laplace_matrix(
                     sp, order=self.cfg.embedding_space_degree + 1)
-                f2l = self._fused_masked_k_lat(sp)
-                cb = self._fused_cheb_builder(sp, None, 0.0, flat=False)
+                phys_l = self._lat_phys(sp)
+                f2l = self._fused_masked_k_lat(sp, phys=phys_l)
+                cb = self._fused_cheb_builder(sp, None, 0.0, flat=False,
+                                              phys=phys_l)
                 return f2l, self._k_diag(sp, K_l), f2l, cb
 
             gmg = build_gmg(self.space, factory_lat, free_mask=self.free,
-                            lattice=True)
+                            lattice=True, lattice_phys=self._lat_phys)
 
             def k_mv(x):
-                return to_flat(f2_lat(flat_to_lattice(x, shape)))
+                return to_flat(_unpadk(f2_lat(_padk(
+                    flat_to_lattice(x, shape)))))
 
             K_c = LinOp(k_mv, self.K.shape, k_mv, name="K_c")
 
             def K_inv(v):
-                x2, _ = cg(f2_lat, flat_to_lattice(v, shape), M=gmg.apply,
+                x2, _ = cg(f2_lat, _padk(flat_to_lattice(v, shape)),
+                           M=gmg.apply,
                            tol=0.0, reduction=reduction, max_steps=2000)
-                return to_flat(x2)
+                return to_flat(_unpadk(x2))
 
             return K_c, K_inv
 
@@ -338,22 +353,50 @@ class ImmersedLaplaceProblem:
 
     def _lat_mode_ok(self) -> bool:
         """Whether the lattice-resident inner solve is enabled for the
-        current fine space (see LAT_MAX_FINE)."""
+        current fine space (see LAT_MAX_FINE and _lat_phys)."""
         import jax as _jax
 
         if self._fused_masked_k_lat(self.space) is None:
             return False
-        return not (_jax.default_backend() == "tpu"
-                    and max(self.space.n_points_1d) > self.LAT_MAX_FINE)
+        if (_jax.default_backend() == "tpu"
+                and max(self.space.n_points_1d) > self.LAT_MAX_FINE):
+            # above the exact-shape gate the PADDED lattice mode (lane-
+            # aligned physical shapes) keeps residency when available
+            return self._lat_phys(self.space) is not None
+        return True
 
-    def _fused_masked_k_lat(self, sp, dtype=None):
+    def _lat_phys(self, sp):
+        """Physical lane-aligned padded lattice shape (py, px) for the
+        padded-lattice mode, or None for exact shapes.
+
+        Lane-aligned physical shapes (px a multiple of 128, py of 8) remove
+        every partial lane-tile from the Pallas kernels and make the
+        flat<->lattice reshape a cheap layout-preserving one.  Built as a
+        candidate root fix for the v5e fault that kills the worker when
+        Pallas kernels run inside the composed outer-FGMRES + CG-while + GMG
+        program at fine lattices > LAT_MAX_FINE — but measured on hardware
+        (2026-08-18, ref 12): the padded composition faults identically, so
+        padding is OPT-IN (FDAL_LAT_PAD=1) until the real trigger is fixed.
+        A minimal CG-while + Pallas-GMG repro PASSES at exact 4097 shapes,
+        so the trigger is in what the full program adds (outer while nesting
+        / AL band planes / hierarchy depth), not the lattice extents."""
+        mode = os.environ.get("FDAL_LAT_PAD", "0")
+        if mode != "1":
+            return None
+        ny, nx = tuple(reversed(sp.n_points_1d))
+        py = -(-ny // 8) * 8
+        px = -(-nx // 128) * 128
+        return None if (py, px) == (ny, nx) else (py, px)
+
+    def _fused_masked_k_lat(self, sp, dtype=None, phys=None):
         """LATTICE-RESIDENT single-pass constrained stiffness apply
         ``x2 -> m*K(m*x2) + (1-m)*x2`` on lattice (ny, nx) arrays (Pallas
         kernel ops.pallas_kernels.masked_laplace_2d; XLA fallback off-TPU).
-        None when not applicable (non-lattice space, partial Dirichlet
-        sides, fine solve below FUSED_MIN_FINE_POINTS on TPU, or disabled
-        for the SPMD-sharded program where a custom kernel would block GSPMD
-        partitioning)."""
+        ``phys`` runs it on lane-aligned zero-padded (py, px) arrays (the
+        padded-lattice mode, see :meth:`_lat_phys`).  None when not
+        applicable (non-lattice space, partial Dirichlet sides, fine solve
+        below FUSED_MIN_FINE_POINTS on TPU, or disabled for the SPMD-sharded
+        program where a custom kernel would block GSPMD partitioning)."""
         if not getattr(self, "_fused_enabled", True):
             return None
         if not self._is_lattice(sp) or sp.grid.dim != 2:
@@ -369,7 +412,7 @@ class ImmersedLaplaceProblem:
         from ..parallel.lattice import LatticeOps
 
         lat = LatticeOps.for_space(sp)
-        return masked_laplace_2d(lat.h, lat.shape, dtype=dtype)
+        return masked_laplace_2d(lat.h, lat.shape, dtype=dtype, phys=phys)
 
     def _fused_masked_k(self, sp, dtype=None):
         """Flat-vector wrapper of :meth:`_fused_masked_k_lat` (one
@@ -424,7 +467,7 @@ class ImmersedLaplaceProblem:
         return mv, al_diag
 
     def _fused_cheb_builder(self, sp, coupling, gamma, dtype=None,
-                            flat: bool = True):
+                            flat: bool = True, phys=None):
         """Builder for the fully-fused degree-k Chebyshev GMG smoother
         (ops.pallas_kernels.fused_chebyshev_2d): the whole sweep — k masked
         stencil applies + k Γ-band AL patch applies + the polynomial
@@ -433,6 +476,8 @@ class ImmersedLaplaceProblem:
         gmg.build_gmg's 4th op_factory slot, or None when not applicable.
         With ``flat=False`` the returned applies consume/produce lattice
         (ny, nx) arrays directly (the lattice-mode GMG; no relayouts)."""
+        assert phys is None or not flat, \
+            "padded-lattice smoothers are lattice-resident only"
         if not getattr(self, "_fused_enabled", True):
             return None
         if os.environ.get("FDAL_DISABLE_FUSED_CHEB") == "1":
@@ -482,7 +527,7 @@ class ImmersedLaplaceProblem:
                 return fused_chebyshev_2d(
                     factors, (ny, nx), planes, (r0, c0, pr, pc), float(lam),
                     degree=degree, eig_ratio=eig_ratio, dtype=dtype,
-                    mode=mode)
+                    mode=mode, phys=phys)
 
             ap2 = mk("smooth")
             if ap2 is None:
@@ -926,9 +971,11 @@ class ImmersedLaplaceProblem:
         # flat block vectors — a handful of applies per solve).
         lat_mode = False
         if cfg.use_operator_form and self._lat_mode_ok():
-            f2_fine = self._fused_masked_k_lat(self.space)
+            phys_fine = self._lat_phys(self.space)
+            f2_fine = self._fused_masked_k_lat(self.space, phys=phys_fine)
             al_fine_lat = Cp_fine.patch_al_lattice(
-                self.space, gamma, free=np.asarray(self.free))
+                self.space, gamma, free=np.asarray(self.free),
+                phys=phys_fine)
             lat_mode = al_fine_lat is not None
 
         al_apply_fine = AL.mv if hasattr(AL, "mv") else AL
@@ -936,13 +983,27 @@ class ImmersedLaplaceProblem:
             from ..parallel.lattice import flat_to_lattice, to_flat
 
             shape_fine = self.space.n_points_1d
+            lat_fine = tuple(reversed(shape_fine))
             al_mv2_fine = al_fine_lat[0]
+
+            def _padf(x2):
+                """Logical (ny, nx) -> physical (py, px) (padded mode)."""
+                if phys_fine is None:
+                    return x2
+                return jnp.pad(x2, ((0, phys_fine[0] - lat_fine[0]),
+                                    (0, phys_fine[1] - lat_fine[1])))
+
+            def _unpadf(x2):
+                if phys_fine is None:
+                    return x2
+                return x2[:lat_fine[0], :lat_fine[1]]
 
             def aug_mv_lat(x2):
                 return f2_fine(x2) + al_mv2_fine(x2)
 
             def aug_mv(x):
-                return to_flat(aug_mv_lat(flat_to_lattice(x, shape_fine)))
+                return to_flat(_unpadf(aug_mv_lat(_padf(
+                    flat_to_lattice(x, shape_fine)))))
 
             n = self.space.n_dofs
             Aug = LinOp(aug_mv, (n, n), aug_mv, name="Aug")
@@ -995,14 +1056,17 @@ class ImmersedLaplaceProblem:
 
         def aug_op_factory_lat(sp):
             """Lattice-resident level ops for build_gmg(lattice=True): every
-            apply consumes/produces lattice (ny, nx) arrays."""
+            apply consumes/produces lattice (ny, nx) arrays — physically
+            padded to _lat_phys(sp) in the padded-lattice mode."""
             K_l = self.K if sp is self.space else laplace_matrix(
                 sp, order=cfg.embedding_space_degree + 1)
-            f2l = self._fused_masked_k_lat(sp, dtype=gmg_dt)
+            phys_l = self._lat_phys(sp)
+            f2l = self._fused_masked_k_lat(sp, dtype=gmg_dt, phys=phys_l)
             assert f2l is not None  # lat_mode gates are whole-solver
             free_l = (np.asarray(self.free) if sp is self.space
                       else ~sp.boundary_dof_mask(list(cfg.dirichlet_ids)))
-            al = coupling_for(sp).patch_al_lattice(sp, gamma, free=free_l)
+            al = coupling_for(sp).patch_al_lattice(sp, gamma, free=free_l,
+                                                   phys=phys_l)
             lat_shape = tuple(reversed(sp.n_points_1d))
             if al is not None:
                 al_mv2, al_diag = al
@@ -1013,15 +1077,24 @@ class ImmersedLaplaceProblem:
                 al_apply = al_flat.mv if hasattr(al_flat, "mv") else al_flat
                 al_m = self._masked_wrap(sp, al_apply)
 
-                def al_mv2(x2, al_m=al_m, lat_shape=lat_shape):
-                    return al_m(x2.reshape(-1)).reshape(lat_shape)
+                def al_mv2(x2, al_m=al_m, lat_shape=lat_shape,
+                           phys_l=phys_l):
+                    xl = (x2 if phys_l is None
+                          else x2[:lat_shape[0], :lat_shape[1]])
+                    out = al_m(xl.reshape(-1)).reshape(lat_shape)
+                    if phys_l is not None:
+                        out = jnp.pad(out,
+                                      ((0, phys_l[0] - lat_shape[0]),
+                                       (0, phys_l[1] - lat_shape[1])))
+                    return out
 
             def mv(x2, f2l=f2l, al_mv2=al_mv2):
                 return f2l(x2) + al_mv2(x2)
 
             diag = self._k_diag(sp, K_l) + al_diag
             cb = self._fused_cheb_builder(sp, coupling_for(sp), gamma,
-                                          dtype=gmg_dt, flat=False)
+                                          dtype=gmg_dt, flat=False,
+                                          phys=phys_l)
             return mv, diag, mv, cb
 
         gmg = build_gmg(self.space,
@@ -1029,16 +1102,19 @@ class ImmersedLaplaceProblem:
                         free_mask=self.free,
                         smoother_degree=cfg.gmg_smoother_degree,
                         dtype=jnp.bfloat16 if cfg.use_bf16_multigrid else None,
-                        lattice=lat_mode)
+                        lattice=lat_mode,
+                        lattice_phys=self._lat_phys if lat_mode else None)
         self._last_gmg = gmg  # exposed for diagnostics (tests, kernel triage)
 
         if lat_mode:
             def aug_inv(v):
-                v2 = flat_to_lattice(v, shape_fine)
+                # the flat<->lattice boundary (a relayout; plus the pad in
+                # padded mode) is crossed ONCE per aug_inv, not per apply
+                v2 = _padf(flat_to_lattice(v, shape_fine))
                 x2, _ = cg(aug_mv_lat, v2, M=gmg.apply,
                            tol=cfg.inner_tolerance,
                            max_steps=cfg.inner_max_steps)
-                return to_flat(x2)
+                return to_flat(_unpadf(x2))
         else:
             def aug_inv(v):
                 x, _ = cg(Aug, v, M=gmg.apply, tol=cfg.inner_tolerance,

@@ -312,7 +312,7 @@ class Coupling:
 
         return _LinOp(mv, (n, n), mv, name="AL_stencil"), diag
 
-    def patch_al_lattice(self, space, gamma: float, free=None):
+    def patch_al_lattice(self, space, gamma: float, free=None, phys=None):
         """LATTICE-RESIDENT particle-form AL apply: ``mv2(x2d) -> (ny, nx)``
         consuming and producing lattice (reversed-axis) arrays — the
         relayout-free core of :meth:`patch_stencil_al` for the lattice-mode
@@ -322,7 +322,10 @@ class Coupling:
         ``mv2(x2) == (m * AL(m * x)).reshape(lat)`` exactly even when the
         patch halo touches a boundary row/column.  Returns ``(mv2, diag)``
         with ``diag`` the flat assembled diagonal, or None when the Γ-band
-        is not interior to the lattice."""
+        is not interior to the lattice.  ``phys = (py, px)`` (optional):
+        consume/produce lane-aligned zero-padded (py, px) arrays with the
+        logical lattice top-left (padded-lattice mode; patch indices are
+        absolute from the top-left corner, so they are unaffected)."""
         import jax
 
         pw = self.patch_w9(space, gamma, free=free)
@@ -331,6 +334,8 @@ class Coupling:
         (r0, c0, pr, pc), w9 = pw
         npts = space.n_points_1d
         nx, ny = npts[0], npts[1]
+        py, px = ((int(phys[0]), int(phys[1])) if phys is not None
+                  else (ny, nx))
         w9j = jnp.asarray(w9)
 
         def mv2(x2d):
@@ -342,9 +347,11 @@ class Coupling:
                     term = w9j[a, b].astype(x2d.dtype) * \
                         jax.lax.dynamic_slice(up, (a, b), (pr, pc))
                     acc = term if acc is None else acc + term
-            out = jnp.zeros((ny, nx), dtype=x2d.dtype)
+            out = jnp.zeros((py, px), dtype=x2d.dtype)
             return jax.lax.dynamic_update_slice(out, acc, (r0, c0))
 
+        # the assembled diagonal stays LOGICAL (flat n_dofs) in either mode;
+        # padded-mode callers pad it alongside the stencil diagonal
         dg = np.zeros((ny, nx))
         dg[r0:r0 + pr, c0:c0 + pc] = np.asarray(w9[1, 1])
         return mv2, jnp.asarray(dg.reshape(-1))

@@ -178,11 +178,30 @@ def laplace_stencil_2d(h0: float, h1: float) -> SeparableStencil2D:
 MASKED_STENCIL_MIN_ROWS = 64  # below this the XLA fallback wins (setup cost)
 
 
-def _masked_conv9_pallas(factors, ny: int, nx: int, dtype, T: int = 256):
+def force_xla_kernels() -> bool:
+    """When set (env FDAL_FORCE_XLA_KERNELS=1), every builder in this module
+    returns its XLA form (masked_laplace_2d) or None (fused_chebyshev_2d) —
+    used to build the lattice-resident ALL-XLA composition that survives the
+    v5e runtime fault at fine lattices > LAT_MAX_FINE (PARITY.md: any Pallas
+    kernel inside the composed CG-while + GMG at 4097² kills the worker;
+    the identical program with all kernels in XLA form passes)."""
+    import os
+
+    return os.environ.get("FDAL_FORCE_XLA_KERNELS", "0") == "1"
+
+
+def _masked_conv9_pallas(factors, ny: int, nx: int, dtype, T: int = 256,
+                         phys=None):
     """``factors = (K0, M0, K1, M1)``: symmetric 3-point 1D operators of the
     tensor-product stencil K0⊗M1 + M0⊗K1.  The separable common-subexpression
     evaluation (2 vertical combinations, then 4 lane shifts) measures at the
-    pipeline's copy speed — the 9-term direct form costs ~35% more."""
+    pipeline's copy speed — the 9-term direct form costs ~35% more.
+
+    ``phys = (py, px)`` (optional): the arrays are physically (py, px) with
+    the logical (ny, nx) lattice in the top-left corner and ZERO pad beyond —
+    the lane-aligned padded-lattice mode (px a multiple of 128, py of the
+    sublane tile).  All masks stay logical; pad rows/columns pass through the
+    identity branch, so zero pad stays zero."""
     import jax.numpy as jnp
     from jax import lax
     from jax.experimental import pallas as pl
@@ -190,10 +209,11 @@ def _masked_conv9_pallas(factors, ny: int, nx: int, dtype, T: int = 256):
 
     import jax.numpy as jnp_
 
+    py, px = (int(phys[0]), int(phys[1])) if phys is not None else (ny, nx)
     H = 16 if dtype == jnp_.bfloat16 else 8   # halo rows = sublane tile
-    T = min(T, max(H, (ny // H) * H))
-    nb = -(-ny // T)
-    nhb = -(-ny // H)
+    T = min(T, max(H, (py // H) * H))
+    nb = -(-py // T)
+    nhb = -(-py // H)
     K0, M0, K1, M1 = [[float(v) for v in f] for f in factors]
 
     # bf16 is a STORAGE dtype only: Mosaic has no sub-32-bit rotates, so
@@ -205,8 +225,8 @@ def _masked_conv9_pallas(factors, ny: int, nx: int, dtype, T: int = 256):
         g0 = i * T
         mid = mid_ref[:, :].astype(cd)
 
-        rows = g0 + lax.broadcasted_iota(jnp.int32, (T, nx), 0)
-        cols = lax.broadcasted_iota(jnp.int32, (T, nx), 1)
+        rows = g0 + lax.broadcasted_iota(jnp.int32, (T, px), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (T, px), 1)
         in_row = (rows >= 1) & (rows <= ny - 2)
         in_col = (cols >= 1) & (cols <= nx - 2)
         inmask = (in_row & in_col).astype(cd)
@@ -217,7 +237,7 @@ def _masked_conv9_pallas(factors, ny: int, nx: int, dtype, T: int = 256):
         zero = jnp.zeros((), cd)
         up_row = up_ref[H - 1, :].astype(cd) * jnp.where(g0 - 1 >= 1, one, zero)
         dn_row = dn_ref[0, :].astype(cd) * jnp.where(g0 + T <= ny - 2, one, zero)
-        ccol = lax.broadcasted_iota(jnp.int32, (1, nx), 1)
+        ccol = lax.broadcasted_iota(jnp.int32, (1, px), 1)
         cmask = ((ccol >= 1) & (ccol <= nx - 2)).astype(cd)[0]
         up_row = up_row * cmask
         dn_row = dn_row * cmask
@@ -231,9 +251,9 @@ def _masked_conv9_pallas(factors, ny: int, nx: int, dtype, T: int = 256):
         sk = K0[0] * vsum + K0[1] * m_mid
         sm = M0[0] * vsum + M0[1] * m_mid
         skl = pltpu.roll(sk, 1, 1)
-        skr = pltpu.roll(sk, nx - 1, 1)
+        skr = pltpu.roll(sk, px - 1, 1)
         sml = pltpu.roll(sm, 1, 1)
-        smr = pltpu.roll(sm, nx - 1, 1)
+        smr = pltpu.roll(sm, px - 1, 1)
         acc = (M1[1] * sk + M1[0] * (skl + skr) +
                K1[1] * sm + K1[0] * (sml + smr))
         out_ref[:, :] = jnp.where(in_row & in_col, acc, mid).astype(dtype)
@@ -243,19 +263,19 @@ def _masked_conv9_pallas(factors, ny: int, nx: int, dtype, T: int = 256):
             kernel,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((T, nx), lambda i: (i, 0),
+                pl.BlockSpec((T, px), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, nx),
+                pl.BlockSpec((H, px),
                              lambda i: (jnp.maximum(i * (T // H) - 1, 0), 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, nx),
+                pl.BlockSpec((H, px),
                              lambda i: (jnp.minimum(i * (T // H) + T // H,
                                                     nhb - 1), 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((T, nx), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((T, px), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((ny, nx), dtype),
+            out_shape=jax.ShapeDtypeStruct((py, px), dtype),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(u, u, u)
@@ -263,21 +283,22 @@ def _masked_conv9_pallas(factors, ny: int, nx: int, dtype, T: int = 256):
     return apply
 
 
-def _masked_conv9_xla(w, ny: int, nx: int, dtype):
+def _masked_conv9_xla(w, ny: int, nx: int, dtype, phys=None):
     """Reference/CPU form: identical semantics, XLA shifts + wheres."""
     import jax.numpy as jnp
 
+    py, px = (int(phys[0]), int(phys[1])) if phys is not None else (ny, nx)
     wj = [[jnp.asarray(w[a][b], dtype) for b in range(3)] for a in range(3)]
 
     def apply(u):
-        m = jnp.zeros((ny, nx), u.dtype).at[1:-1, 1:-1].set(1.0)
+        m = jnp.zeros((py, px), u.dtype).at[1:ny - 1, 1:nx - 1].set(1.0)
         um = u * m
         up = jnp.pad(um, 1)
         acc = None
         for di in range(3):
             for dj in range(3):
                 t = wj[di][dj].astype(u.dtype) * \
-                    jax.lax.dynamic_slice(up, (di, dj), (ny, nx))
+                    jax.lax.dynamic_slice(up, (di, dj), (py, px))
                 acc = t if acc is None else acc + t
         return m * acc + (1 - m) * u
 
@@ -295,20 +316,24 @@ def stencil_factors_2d(h):
     return K0, M0, K1, M1
 
 
-def masked_laplace_2d(h, shape, dtype=None):
+def masked_laplace_2d(h, shape, dtype=None, phys=None):
     """Constrained Q1 stiffness apply on an (ny, nx) lattice (lattice axis
     order): ``m*K(m*u) + (1-m)*u`` with ``m`` the all-sides-Dirichlet interior
     mask.  Pallas fused kernel on TPU; XLA fallback elsewhere.  ``h`` is the
-    per-lattice-axis cell size."""
+    per-lattice-axis cell size.  ``phys = (py, px)`` (optional) runs on
+    lane-aligned zero-padded arrays with the logical lattice top-left (see
+    :func:`_masked_conv9_pallas`)."""
     import jax.numpy as jnp
 
     ny, nx = int(shape[0]), int(shape[1])
     K0, M0, K1, M1 = stencil_factors_2d(h)
     w = np.outer(K0, M1) + np.outer(M0, K1)
     dtype = dtype or jnp.zeros(0).dtype
-    if jax.default_backend() == "tpu" and ny >= MASKED_STENCIL_MIN_ROWS:
-        return _masked_conv9_pallas((K0, M0, K1, M1), ny, nx, dtype)
-    return _masked_conv9_xla(w, ny, nx, dtype)
+    if (jax.default_backend() == "tpu" and ny >= MASKED_STENCIL_MIN_ROWS
+            and not force_xla_kernels()):
+        return _masked_conv9_pallas((K0, M0, K1, M1), ny, nx, dtype,
+                                    phys=phys)
+    return _masked_conv9_xla(w, ny, nx, dtype, phys=phys)
 
 
 # ---------------------------------------------------------------------------
@@ -369,7 +394,8 @@ def _cheb_scalars(lam_max: float, degree: int, eig_ratio: float,
 def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
                        *, degree: int = 4, eig_ratio: float = 30.0,
                        dtype=None, T: int | None = None,
-                       interpret: bool = False, mode: str = "smooth"):
+                       interpret: bool = False, mode: str = "smooth",
+                       phys=None):
     """Build the fused smoother apply ``b -> x`` for the Dirichlet-masked
     augmented lattice operator.
 
@@ -390,6 +416,10 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
     (5, ny, nx) [order: center, (0,1), (1,0), (1,1), (1,-1)] zero outside the
     Γ-band; ``patch_box = (r0, c0, pr, pc)`` the band's bounding box.
     ``lam_max``: CONCRETE Lanczos bound of D⁻¹A (host scalar at build time).
+    ``phys = (py, px)`` (optional): arrays are physically (py, px),
+    lane-aligned, logical lattice top-left, zero pad beyond (masks stay
+    logical; pad stays zero through the recurrence since b's pad is zero and
+    non-interior points take the identity branch).
 
     Banded plane access: the planes are stored column-windowed to the
     lane-aligned patch box, and their row-block index maps are CLAMPED to the
@@ -402,8 +432,10 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
     import jax.numpy as jnp_
 
     ny, nx = int(shape[0]), int(shape[1])
+    py, px = (int(phys[0]), int(phys[1])) if phys is not None else (ny, nx)
     if not interpret and (jax.default_backend() != "tpu"
-                          or ny < FUSED_CHEB_MIN_ROWS):
+                          or ny < FUSED_CHEB_MIN_ROWS
+                          or force_xla_kernels()):
         return None
     # Band height: 96 keeps the WHOLE program's resident Pallas footprint
     # (this kernel at every GMG level + the single-apply stencil kernels,
@@ -430,9 +462,9 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
     n_ops = (degree - 1) + (mode != "smooth")
     if n_ops > H:
         return None
-    T = min(T, max(H, (ny // H) * H))
-    nb = -(-ny // T)
-    nhb = -(-ny // H)
+    T = min(T, max(H, (py // H) * H))
+    nb = -(-py // T)
+    nhb = -(-py // H)
     K0, M0, K1, M1 = [[float(v) for v in f] for f in factors]
     Kc = K0[1] * M1[1] + M0[1] * K1[1]   # constant interior stencil center
     theta, coeffs = _cheb_scalars(lam_max, degree, eig_ratio)
@@ -443,17 +475,20 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
         # (shifted reads); plane values are zero at the window edge columns,
         # which keeps lane-roll wraparound harmless
         c0a = max(0, ((c0 - 1) // 128) * 128)
-        c1a = min(nx, -(-(c0 + pc + 1) // 128) * 128)
+        c1a = min(px, -(-(c0 + pc + 1) // 128) * 128)
         PW = c1a - c0a
         # the 5 column-windowed planes are stacked along columns into ONE
-        # (ny, 5*PW) array so each grid step issues 3 plane DMAs (mid/up/dn)
+        # (py, 5*PW) array so each grid step issues 3 plane DMAs (mid/up/dn)
         # instead of 15 — the 22-ref post-mode pipeline hung the v5e runtime
         # at fine lattices >= 1025 (DMA pipeline pressure), and fewer refs is
         # strictly simpler for every mode.  PW is lane-aligned (multiple of
         # 128), so the in-kernel window slices stay aligned.
+        planes_np = np.asarray(planes)
+        if (py, px) != (ny, nx):
+            planes_np = np.pad(planes_np,
+                               ((0, 0), (0, py - ny), (0, px - nx)))
         planes_w = jnp.asarray(
-            np.concatenate(list(np.asarray(planes)[:, :, c0a:c1a]), axis=1),
-            dtype)
+            np.concatenate(list(planes_np[:, :, c0a:c1a]), axis=1), dtype)
         # clamped block-index ranges (row-banded plane fetches)
         mlo, mhi = r0 // T, (r0 + pr - 1) // T
         hlo, hhi = r0 // H, (r0 + pr - 1) // H
@@ -491,8 +526,8 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
         b_ext = jnp.concatenate(
             [b_up[:, :], b_mid[:, :], b_dn[:, :]], axis=0).astype(jnp.float32)
 
-        rows = (g0 - H) + lax.broadcasted_iota(jnp.int32, (E, nx), 0)
-        cols = lax.broadcasted_iota(jnp.int32, (E, nx), 1)
+        rows = (g0 - H) + lax.broadcasted_iota(jnp.int32, (E, px), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (E, px), 1)
         inm = ((rows >= 1) & (rows <= ny - 2) &
                (cols >= 1) & (cols <= nx - 2))
         # rows of the last partial band beyond ny are Pallas block padding and
@@ -526,8 +561,8 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
             # zero-width segments crash Mosaic ("vector types must have
             # positive constant sizes") — drop them from the concat
             zleft = jnp.zeros((E, c0a), jnp.float32) if c0a else None
-            zright = (jnp.zeros((E, nx - c1a), jnp.float32)
-                      if nx - c1a else None)
+            zright = (jnp.zeros((E, px - c1a), jnp.float32)
+                      if px - c1a else None)
 
             def embed(aw):
                 parts = [p for p in (zleft, aw, zright) if p is not None]
@@ -547,10 +582,10 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
             vsum = shift_rows(z, 1) + shift_rows(z, -1)
             sk = K0[0] * vsum + K0[1] * z
             sm = M0[0] * vsum + M0[1] * z
-            acc = (M1[1] * sk + M1[0] * (shift_cols(sk, 1, nx) +
-                                         shift_cols(sk, -1, nx)) +
-                   K1[1] * sm + K1[0] * (shift_cols(sm, 1, nx) +
-                                         shift_cols(sm, -1, nx)))
+            acc = (M1[1] * sk + M1[0] * (shift_cols(sk, 1, px) +
+                                         shift_cols(sk, -1, px)) +
+                   K1[1] * sm + K1[0] * (shift_cols(sm, 1, px) +
+                                         shift_cols(sm, -1, px)))
             if have_patch:
                 # symmetric reconstruction on the column window: the direct
                 # term is W_e[p]·z[p+e]; the mirrored offset is
@@ -583,16 +618,16 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
             refs[-1][:, :] = res[H:H + T, :].astype(dtype)
 
     def mid_spec():
-        return pl.BlockSpec((T, nx), lambda i: (i, 0),
+        return pl.BlockSpec((T, px), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     def up_spec():
-        return pl.BlockSpec((H, nx),
+        return pl.BlockSpec((H, px),
                             lambda i: (jnp.maximum(i * (T // H) - 1, 0), 0),
                             memory_space=pltpu.VMEM)
 
     def dn_spec():
-        return pl.BlockSpec((H, nx),
+        return pl.BlockSpec((H, px),
                             lambda i: (jnp.minimum(i * (T // H) + T // H,
                                                    nhb - 1), 0),
                             memory_space=pltpu.VMEM)
@@ -622,8 +657,8 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
 
         in_specs += [pw_mid(), pw_up(), pw_dn()]
 
-    o_spec = pl.BlockSpec((T, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    o_shape = jax.ShapeDtypeStruct((ny, nx), dtype)
+    o_spec = pl.BlockSpec((T, px), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct((py, px), dtype)
     call = pl.pallas_call(
         kernel,
         grid=(nb,),

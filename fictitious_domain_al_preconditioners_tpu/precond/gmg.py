@@ -106,21 +106,40 @@ class LatticeTransfer2D:
     reshape between a flat dof vector and a (ny, nx) lattice with nx not
     lane-aligned (2^r + 1 never is) is a real relayout costing a full HBM
     round trip; the lattice-mode GMG keeps every level's vectors in lattice
-    shape so transfers, smoothers and stencils chain relayout-free."""
+    shape so transfers, smoothers and stencils chain relayout-free.
+
+    ``fine_phys`` / ``coarse_phys`` (optional): physical lane-aligned padded
+    shapes of the padded-lattice mode — the transfer then slices off the
+    (zero) pad, interpolates on the logical lattice, and re-pads."""
 
     fine_lat: tuple      # (ny, nx) of the finer level
     coarse_lat: tuple
     shape: tuple         # (n_fine, n_coarse) dof counts
+    fine_phys: tuple = None
+    coarse_phys: tuple = None
+
+    @staticmethod
+    def _unpad(a, lat):
+        return a[:lat[0], :lat[1]] if a.shape != tuple(lat) else a
+
+    @staticmethod
+    def _pad(a, phys):
+        if phys is None or tuple(phys) == a.shape:
+            return a
+        return jnp.pad(a, ((0, phys[0] - a.shape[0]),
+                           (0, phys[1] - a.shape[1])))
 
     def mv(self, xc2):
         from ..parallel.lattice import lattice_prolong
 
-        return lattice_prolong(xc2)
+        return self._pad(lattice_prolong(self._unpad(xc2, self.coarse_lat)),
+                         self.fine_phys)
 
     def rmv(self, xf2):
         from ..parallel.lattice import lattice_restrict
 
-        return lattice_restrict(xf2)
+        return self._pad(lattice_restrict(self._unpad(xf2, self.fine_lat)),
+                         self.coarse_phys)
 
 
 @dataclass
@@ -187,11 +206,16 @@ class GMG:
     so reduced precision costs no outer iterations — apply() casts back to
     the caller's dtype at the boundary."""
 
-    def __init__(self, levels, coarse_inv, n_cycles: int = 1, dtype=None):
+    def __init__(self, levels, coarse_inv, n_cycles: int = 1, dtype=None,
+                 coarse_lat=None, coarse_phys=None):
         self.levels = levels
         self.coarse_inv = coarse_inv
         self.n_cycles = n_cycles
         self.dtype = dtype or levels[0].diag_inv.dtype
+        # padded-lattice mode: the coarse level's logical (ny, nx) and
+        # physical (py, px) shapes, when they differ
+        self.coarse_lat = coarse_lat
+        self.coarse_phys = coarse_phys
 
     def _coarse_solve(self, b):
         # precomputed dense inverse: ONE MXU matmul per V-cycle — triangular
@@ -199,6 +223,13 @@ class GMG:
         # at the inverse's (full) precision.  In lattice mode ``b`` arrives
         # lattice-shaped; the coarse level is tiny, so the flat round trip
         # here costs nothing.
+        if self.coarse_phys is not None and b.shape == tuple(self.coarse_phys):
+            bl = b[:self.coarse_lat[0], :self.coarse_lat[1]]
+            x = (self.coarse_inv @ bl.reshape(-1).astype(
+                self.coarse_inv.dtype)).astype(self.dtype)
+            return jnp.pad(x.reshape(self.coarse_lat),
+                           ((0, b.shape[0] - self.coarse_lat[0]),
+                            (0, b.shape[1] - self.coarse_lat[1])))
         x = (self.coarse_inv @ b.reshape(-1).astype(
             self.coarse_inv.dtype)).astype(self.dtype)
         return x.reshape(b.shape)
@@ -242,7 +273,8 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
               n_levels: int | None = None, min_cells: int = 4,
               smoother_degree: int = 4, eig_ratio: float = 30.0,
               n_cycles: int = 1, lanczos_steps: int = 10,
-              n_comp: int = 1, dtype=None, lattice: bool = False) -> GMG:
+              n_comp: int = 1, dtype=None, lattice: bool = False,
+              lattice_phys=None) -> GMG:
     """Build a GMG hierarchy.
 
     ``op_factory(space) -> (mv, diag)`` re-discretizes the (augmented)
@@ -259,6 +291,12 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
     flat<->lattice relayouts (on TPU each such reshape of a non-lane-aligned
     lattice is a full HBM round trip).  ``apply(b)`` then takes and returns
     lattice-shaped arrays; the caller reshapes once at the solve boundary.
+
+    ``lattice_phys`` (optional, lattice mode): ``fn(space) -> (py, px) or
+    None`` giving the PHYSICAL lane-aligned padded shape per level — the
+    padded-lattice mode.  Level vectors are physically (py, px) with the
+    logical lattice top-left and zero pad beyond; op_factory applies must
+    consume/produce that physical shape (masks stay logical, pad-preserving).
     """
     def coarsenable(sp):
         if hasattr(sp, "can_coarsen"):          # adaptive quadtree space
@@ -297,12 +335,23 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
             m = np.tile(m, n_comp)
             mask = jnp.asarray(m)
         lat = tuple(reversed(sp.n_points_1d)) if lattice else None
+        latp = None
         if lattice:
+            latp = lattice_phys(sp) if lattice_phys is not None else None
+            if latp is not None and tuple(latp) == tuple(lat):
+                latp = None
             mask = mask.reshape(lat)
+            if latp is not None:   # padded-lattice: pad is never free
+                mask = jnp.pad(mask, ((0, latp[0] - lat[0]),
+                                      (0, latp[1] - lat[1])))
         res = op_factory(sp)
         mv_raw, diag = res[0], res[1]
         if lattice:
             diag = diag.reshape(lat)
+            if latp is not None:   # pad diag with 1s (masked to identity)
+                diag = jnp.pad(diag, ((0, latp[0] - lat[0]),
+                                      (0, latp[1] - lat[1])),
+                               constant_values=1.0)
         # optional third element: a FUSED masked apply with the exact same
         # semantics as the wrap below (m*A(m*x) + (1-m)*x) — the Pallas
         # single-pass stencil kernel on TPU lattices (ops.pallas_kernels)
@@ -328,9 +377,15 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
         lanc_dt = jnp.float32 if dt == jnp.bfloat16 else dt
         if lattice:
             # setup-time only: the flat round trip here costs nothing
-            def lanc_mv(v, mv=mv, di=diag_inv, lat=lat):
-                return (di * mv(v.reshape(lat).astype(dt))).reshape(
-                    -1).astype(lanc_dt)
+            def lanc_mv(v, mv=mv, di=diag_inv, lat=lat, latp=latp):
+                v2 = v.reshape(lat).astype(dt)
+                if latp is not None:
+                    v2 = jnp.pad(v2, ((0, latp[0] - lat[0]),
+                                      (0, latp[1] - lat[1])))
+                w2 = di * mv(v2)
+                if latp is not None:
+                    w2 = w2[:lat[0], :lat[1]]
+                return w2.reshape(-1).astype(lanc_dt)
         else:
             def lanc_mv(v, mv=mv, di=diag_inv):
                 return (di * mv(v.astype(dt))).astype(lanc_dt)
@@ -346,9 +401,14 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
         if i > 0:
             finer = spaces[i - 1]
             if lattice:
+                fphys = (lattice_phys(finer) if lattice_phys is not None
+                         else None)
+                flat_ = tuple(reversed(finer.n_points_1d))
+                if fphys is not None and tuple(fphys) == flat_:
+                    fphys = None
                 prolong = LatticeTransfer2D(
-                    tuple(reversed(finer.n_points_1d)), lat,
-                    (finer.n_dofs, sp.n_dofs))
+                    flat_, lat, (finer.n_dofs, sp.n_dofs),
+                    fine_phys=fphys, coarse_phys=latp)
             elif sp.fe.degree == 1 and sp.continuous and hasattr(sp, "n_points_1d"):
                 prolong = LatticeProlongation(
                     finer.n_points_1d, sp.n_points_1d,
@@ -369,9 +429,23 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
     inv_dt = jnp.float32 if levels[0].mask.dtype == jnp.bfloat16 \
         else levels[0].mask.dtype
     eye = jnp.eye(nco, dtype=levels[0].mask.dtype)
+    coarse_lat = coarse_phys = None
     if lattice:
         coarse_lat = tuple(reversed(coarse.space.n_points_1d))
-        col_op = (lambda col: coarse.op(col.reshape(coarse_lat)).reshape(-1))
+        coarse_phys = (lattice_phys(coarse.space)
+                       if lattice_phys is not None else None)
+        if coarse_phys is not None and tuple(coarse_phys) == coarse_lat:
+            coarse_phys = None
+        if coarse_phys is not None:
+            def col_op(col):
+                c2 = jnp.pad(col.reshape(coarse_lat),
+                             ((0, coarse_phys[0] - coarse_lat[0]),
+                              (0, coarse_phys[1] - coarse_lat[1])))
+                return coarse.op(c2)[:coarse_lat[0],
+                                     :coarse_lat[1]].reshape(-1)
+        else:
+            def col_op(col):
+                return coarse.op(col.reshape(coarse_lat)).reshape(-1)
     else:
         col_op = coarse.op
     dense = jax.vmap(col_op, in_axes=1, out_axes=1)(eye)
@@ -380,4 +454,6 @@ def build_gmg(fine_space: GridSpace, op_factory, *, free_mask,
     # f32 only (x64 runs would fail to compile)
     inv = jnp.asarray(
         np.linalg.inv(np.asarray(dense, dtype=np.float64))).astype(inv_dt)
-    return GMG(levels, inv, n_cycles=n_cycles)
+    return GMG(levels, inv, n_cycles=n_cycles,
+               coarse_lat=coarse_lat if coarse_phys is not None else None,
+               coarse_phys=coarse_phys)

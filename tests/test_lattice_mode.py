@@ -78,6 +78,47 @@ def test_lattice_solver_parity_with_flat():
     assert du <= tol * scale, du
 
 
+def test_padded_lattice_parity(monkeypatch):
+    """Padded-lattice mode (lane-aligned physical shapes, FDAL_LAT_PAD=1;
+    the production composition above LAT_MAX_FINE on TPU) is ARITHMETICALLY
+    the same solver as the exact-shape lattice mode: identical iterates on
+    the logical lattice, pad region zero throughout."""
+    monkeypatch.setenv("FDAL_LAT_PAD", "1")
+    prob = _problem()
+    assert prob._lat_phys(prob.space) is not None
+    assert prob._lat_mode_ok()
+    u_pad, lam_pad, info_pad = prob.solve()
+
+    monkeypatch.setenv("FDAL_LAT_PAD", "0")
+    prob2 = _problem()
+    assert prob2._lat_phys(prob2.space) is None
+    u, lam, info = prob2.solve()
+
+    assert int(info_pad.iterations) == int(info.iterations)
+    du = float(jnp.max(jnp.abs(u_pad - u)))
+    scale = float(jnp.max(jnp.abs(u)))
+    tol = 1e-9 if u.dtype == jnp.float64 else 1e-5
+    assert du <= tol * scale, du
+
+
+def test_padded_lattice_kg_inv_parity(monkeypatch):
+    """_kg_inv's padded-lattice build (CG/Elman/rational solver modes)
+    agrees with the exact-shape build."""
+    monkeypatch.setenv("FDAL_LAT_PAD", "1")
+    prob = _problem(solver="CG")
+    u_pad, _, info_pad = prob.solve()
+
+    monkeypatch.setenv("FDAL_LAT_PAD", "0")
+    prob2 = _problem(solver="CG")
+    u, _, info = prob2.solve()
+
+    assert int(info_pad.iterations) == int(info.iterations)
+    du = float(jnp.max(jnp.abs(u_pad - u)))
+    scale = float(jnp.max(jnp.abs(u)))
+    tol = 1e-9 if u.dtype == jnp.float64 else 1e-5
+    assert du <= tol * scale, du
+
+
 def test_lattice_kg_inv_parity_with_flat():
     """_kg_inv (tight GMG-CG inverse used by the CG/Elman/rational modes)
     agrees between the lattice-resident and flat builds."""
