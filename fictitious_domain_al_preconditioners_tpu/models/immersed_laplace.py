@@ -334,35 +334,50 @@ class ImmersedLaplaceProblem:
     FUSED_MIN_FINE_POINTS = int(os.environ.get(
         "FDAL_FUSED_MIN_FINE", "512"))
 
-    # Maximum fine-lattice extent for the LATTICE-RESIDENT inner solve on
-    # TPU.  At fine 4097 (ref 12) ANY Pallas kernel inside the composed
-    # CG-while + GMG program on 2D lattice carries crashes the v5e worker at
-    # runtime.  Bisected on hardware: A alone in CG passes, GMG alone in a
-    # loop passes, the combination crashes; NOT the AL patch (crashes with
-    # A = stencil only), NOT dynamic-update-slice (pad-embed variant
-    # crashes), NOT band height (T=256/128/96 all crash), NOT duplicate
-    # kernel instances (lru-shared instance crashes), NOT hierarchy depth
-    # alone, NOT the masked stencil kernel specifically (swapping it to XLA
-    # while keeping the fused-Chebyshev Pallas smoothers still crashes);
-    # the same program with ALL kernels in XLA form passes, and the SAME
-    # composition on 2049 and 1025 lattices passes.  In flat mode every
-    # Pallas call is sandwiched by flat<->lattice relayout copies and ref 12
-    # works — so above this size the solver keeps the (proven) flat
-    # composition and pays the relayouts.
+    # Fine-lattice extent above which the lattice-resident inner solve must
+    # use the RESTRICTED Pallas composition on TPU.  The v5e runtime fault
+    # at fine 4097 (ref 12) was fully bisected in round 4 (exp5 full-stack
+    # synthetic repro, each axis isolated on hardware): inside a composed
+    # CG-while + Pallas-GMG program at 4097² there are exactly TWO
+    # independent triggers —
+    #   (T1) the XLA Γ-band patch AL apply at patch extents ≳ 1024 rows
+    #        (ANY write form: dynamic_update_slice, pad-embed, at[].set;
+    #        extent 512 passes, and the same patch passes at fine 2049);
+    #   (T2) the TWO-OUTPUT "pre"-mode fused-Chebyshev kernel (planes +
+    #        pre crashes even at 3 levels; single-output smooth passes).
+    # The SAME program with single-output Pallas kernels only (masked
+    # stencil, smooth-mode Chebyshev with AL planes, mode="op" augmented
+    # apply) + coarse dense matmul + hoisted jit PASSES at exact 4097
+    # shapes.  Round 3's "any Pallas kernel in the loop crashes" was wrong:
+    # its repros all contained the XLA patch term (T1).  Above this gate the
+    # solver therefore (a) applies the augmented operator with the
+    # single-pass mode="op" kernel at every kernel-sized level (no XLA
+    # patch in the loop) and (b) disables the pre-mode smoother kernels.
     LAT_MAX_FINE = int(os.environ.get("FDAL_LAT_MAX_FINE", "4096"))
+
+    def _lat_big(self) -> bool:
+        """True when the fine lattice is above LAT_MAX_FINE on TPU — the
+        regime where the lattice-resident composition must avoid the two
+        v5e fault triggers (XLA patch AL in-loop; pre-mode kernels)."""
+        import jax as _jax
+
+        return (_jax.default_backend() == "tpu"
+                and max(self.space.n_points_1d) > self.LAT_MAX_FINE)
 
     def _lat_mode_ok(self) -> bool:
         """Whether the lattice-resident inner solve is enabled for the
-        current fine space (see LAT_MAX_FINE and _lat_phys)."""
-        import jax as _jax
-
+        current fine space (see LAT_MAX_FINE and _lat_big)."""
         if self._fused_masked_k_lat(self.space) is None:
             return False
-        if (_jax.default_backend() == "tpu"
-                and max(self.space.n_points_1d) > self.LAT_MAX_FINE):
-            # above the exact-shape gate the PADDED lattice mode (lane-
-            # aligned physical shapes) keeps residency when available
-            return self._lat_phys(self.space) is not None
+        if self._lat_big():
+            # needs the restricted composition: fused single-output kernels
+            # must be available (solver builders additionally require the
+            # mode="op" augmented apply before committing to lattice mode)
+            from ..ops.pallas_kernels import force_xla_kernels
+
+            return (getattr(self, "_fused_enabled", True)
+                    and os.environ.get("FDAL_DISABLE_FUSED_CHEB") != "1"
+                    and not force_xla_kernels())
         return True
 
     def _lat_phys(self, sp):
@@ -466,18 +481,11 @@ class ImmersedLaplaceProblem:
 
         return mv, al_diag
 
-    def _fused_cheb_builder(self, sp, coupling, gamma, dtype=None,
-                            flat: bool = True, phys=None):
-        """Builder for the fully-fused degree-k Chebyshev GMG smoother
-        (ops.pallas_kernels.fused_chebyshev_2d): the whole sweep — k masked
-        stencil applies + k Γ-band AL patch applies + the polynomial
-        recurrence — in ONE Pallas pass per application of the smoother.
-        Returns ``builder(lam, degree, eig_ratio) -> apply or None`` for
-        gmg.build_gmg's 4th op_factory slot, or None when not applicable.
-        With ``flat=False`` the returned applies consume/produce lattice
-        (ny, nx) arrays directly (the lattice-mode GMG; no relayouts)."""
-        assert phys is None or not flat, \
-            "padded-lattice smoothers are lattice-resident only"
+    def _fused_kernel_ctx(self, sp, coupling, gamma):
+        """Shared gates + Γ-band plane construction for the fused Pallas
+        kernels (Chebyshev smoothers and the mode="op" augmented apply).
+        Returns ``(factors, (ny, nx), planes, (r0, c0, pr, pc))`` or None
+        when the fused path is not applicable for ``sp``."""
         if not getattr(self, "_fused_enabled", True):
             return None
         if os.environ.get("FDAL_DISABLE_FUSED_CHEB") == "1":
@@ -495,10 +503,8 @@ class ImmersedLaplaceProblem:
         if (os.environ.get("FDAL_FUSED_CHEB_SKIP_FINE") == "1"
                 and sp is self.space):
             return None
-        from ..ops.pallas_kernels import (
-            fused_chebyshev_2d, stencil_factors_2d,
-        )
-        from ..parallel.lattice import LatticeOps, flat_to_lattice, to_flat
+        from ..ops.pallas_kernels import stencil_factors_2d
+        from ..parallel.lattice import LatticeOps
 
         lat = LatticeOps.for_space(sp)
         ny, nx = int(lat.shape[0]), int(lat.shape[1])
@@ -517,7 +523,50 @@ class ImmersedLaplaceProblem:
         else:
             # plain (unaugmented) stiffness smoother: no Γ-band patch
             planes, (r0, c0, pr, pc) = None, (0, 0, 0, 0)
-        factors = stencil_factors_2d(lat.h)
+        return stencil_factors_2d(lat.h), (ny, nx), planes, (r0, c0, pr, pc)
+
+    def _fused_aug_lat(self, sp, coupling, gamma, dtype=None, phys=None):
+        """Single-pass Pallas apply of the MASKED AUGMENTED operator on
+        lattice arrays: ``x2 -> m*(K + γ CᵀW⁻¹C)(m*x2) + (1-m)*x2`` — the
+        constrained stiffness stencil and the Γ-band AL planes in ONE kernel
+        (ops.pallas_kernels.fused_chebyshev_2d mode="op").
+
+        This is the fine/level operator form that keeps lattice residency
+        legal above LAT_MAX_FINE: the XLA patch-slice AL apply faults the
+        v5e runtime when composed into the CG while_loop at those sizes
+        (trigger T1, see LAT_MAX_FINE), while this single-output kernel
+        composition is validated on hardware at exact 4097 shapes.  It is
+        also strictly less HBM traffic than stencil-kernel + XLA patch (one
+        read/write of the field instead of two plus patch intermediates).
+        Returns ``apply(x2) -> (ny, nx)`` or None when not applicable."""
+        ctx = self._fused_kernel_ctx(sp, coupling, gamma)
+        if ctx is None or ctx[2] is None:
+            return None
+        factors, (ny, nx), planes, box = ctx
+        from ..ops.pallas_kernels import fused_chebyshev_2d
+
+        return fused_chebyshev_2d(factors, (ny, nx), planes, box, 1.0,
+                                  dtype=dtype, mode="op", phys=phys)
+
+    def _fused_cheb_builder(self, sp, coupling, gamma, dtype=None,
+                            flat: bool = True, phys=None):
+        """Builder for the fully-fused degree-k Chebyshev GMG smoother
+        (ops.pallas_kernels.fused_chebyshev_2d): the whole sweep — k masked
+        stencil applies + k Γ-band AL patch applies + the polynomial
+        recurrence — in ONE Pallas pass per application of the smoother.
+        Returns ``builder(lam, degree, eig_ratio) -> apply or None`` for
+        gmg.build_gmg's 4th op_factory slot, or None when not applicable.
+        With ``flat=False`` the returned applies consume/produce lattice
+        (ny, nx) arrays directly (the lattice-mode GMG; no relayouts)."""
+        assert phys is None or not flat, \
+            "padded-lattice smoothers are lattice-resident only"
+        ctx = self._fused_kernel_ctx(sp, coupling, gamma)
+        if ctx is None:
+            return None
+        factors, (ny, nx), planes, (r0, c0, pr, pc) = ctx
+        from ..ops.pallas_kernels import fused_chebyshev_2d
+        from ..parallel.lattice import flat_to_lattice, to_flat
+
         shape_dof = sp.n_points_1d
 
         def builder(lam, degree, eig_ratio):
@@ -559,7 +608,10 @@ class ImmersedLaplaceProblem:
             #     passes; an optimization_barrier does not help, so it is
             #     a runtime memory-assignment defect, not scheduling) —
             #     opt-in via FDAL_FUSED_CHEB_PREPOST=1.
-            if os.environ.get("FDAL_FUSED_CHEB_PRE", "1") == "1":
+            # pre is a TWO-OUTPUT kernel — fault trigger T2 above the
+            # LAT_MAX_FINE gate (see there); disabled in the big regime
+            if (os.environ.get("FDAL_FUSED_CHEB_PRE", "1") == "1"
+                    and not self._lat_big()):
                 pre2 = mk("pre")
                 if pre2 is not None:
                     if flat:
@@ -970,13 +1022,23 @@ class ImmersedLaplaceProblem:
         # boundary is crossed once per aug_inv call (outer FGMRES stays on
         # flat block vectors — a handful of applies per solve).
         lat_mode = False
+        aug_k_fine = None
         if cfg.use_operator_form and self._lat_mode_ok():
             phys_fine = self._lat_phys(self.space)
             f2_fine = self._fused_masked_k_lat(self.space, phys=phys_fine)
             al_fine_lat = Cp_fine.patch_al_lattice(
                 self.space, gamma, free=np.asarray(self.free),
                 phys=phys_fine)
-            lat_mode = al_fine_lat is not None
+            if self._lat_big() and not cfg.use_bf16_multigrid:
+                # restricted composition (see LAT_MAX_FINE): the augmented
+                # apply must be the single-pass mode="op" kernel — the XLA
+                # patch AL form is fault trigger T1 at this scale.  (bf16
+                # GMG is excluded: the fused kernels are f32-only, so its
+                # fine level would fall back to the XLA patch.)
+                aug_k_fine = self._fused_aug_lat(self.space, Cp_fine, gamma,
+                                                 phys=phys_fine)
+            lat_mode = (al_fine_lat is not None
+                        and (not self._lat_big() or aug_k_fine is not None))
 
         al_apply_fine = AL.mv if hasattr(AL, "mv") else AL
         if lat_mode:
@@ -998,8 +1060,11 @@ class ImmersedLaplaceProblem:
                     return x2
                 return x2[:lat_fine[0], :lat_fine[1]]
 
-            def aug_mv_lat(x2):
-                return f2_fine(x2) + al_mv2_fine(x2)
+            if aug_k_fine is not None:
+                aug_mv_lat = aug_k_fine
+            else:
+                def aug_mv_lat(x2):
+                    return f2_fine(x2) + al_mv2_fine(x2)
 
             def aug_mv(x):
                 return to_flat(_unpadf(aug_mv_lat(_padf(
@@ -1088,8 +1153,17 @@ class ImmersedLaplaceProblem:
                                        (0, phys_l[1] - lat_shape[1])))
                     return out
 
-            def mv(x2, f2l=f2l, al_mv2=al_mv2):
-                return f2l(x2) + al_mv2(x2)
+            aug_k = (self._fused_aug_lat(sp, coupling_for(sp), gamma,
+                                         dtype=gmg_dt, phys=phys_l)
+                     if self._lat_big() else None)
+            if aug_k is not None:
+                mv = aug_k   # single-pass kernel (big regime, see above);
+                # kernel-gated levels (< FUSED_CHEB_MIN_ROWS) fall through
+                # to the XLA form below — their patch extents are far under
+                # the ≳1024-row fault threshold
+            else:
+                def mv(x2, f2l=f2l, al_mv2=al_mv2):
+                    return f2l(x2) + al_mv2(x2)
 
             diag = self._k_diag(sp, K_l) + al_diag
             cb = self._fused_cheb_builder(sp, coupling_for(sp), gamma,
@@ -1124,11 +1198,20 @@ class ImmersedLaplaceProblem:
         AA = block_operator(layout, layout, [[Aug, Ct_lin], [C_lin, None]])
         prec = al_preconditioner(layout, aug_inv, Ct_lin, inv_w, gamma)
 
+        # FGMRES stores BOTH the V and Z bases (2 x restart x n x 4 bytes);
+        # cap the restart so they fit a ~6 GB budget on huge layouts (67.1M
+        # dofs at the configured 50 would need 25 GB > the v5e's 16 GB HBM).
+        # Floor of 12: the AL-preconditioned solve is h-independent at ~4
+        # outer iterations, so truncation below the floor never engages.
+        n_tot = layout.total
+        restart = min(cfg.fgmres_restart,
+                      max(12, int(6e9 / (8 * max(n_tot, 1)))))
+
         def solve_core(b):
             return fgmres(AA, b, prec, tol=cfg.schur.tolerance,
                           reduction=cfg.schur.reduction,
                           max_steps=cfg.schur.max_steps,
-                          restart=cfg.fgmres_restart)
+                          restart=restart)
 
         if raw_rhs:
             def run_raw(b0, b1):

@@ -455,11 +455,16 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    assert mode in ("smooth", "pre", "post"), mode
+    assert mode in ("smooth", "pre", "post", "op"), mode
     H = 8
     # validity budget: each op application shrinks the extended band by one
-    # row per side; the sweep applies op degree-1 times, pre/post add one
-    n_ops = (degree - 1) + (mode != "smooth")
+    # row per side; the sweep applies op degree-1 times, pre/post add one.
+    # mode="op" is the single AUGMENTED OPERATOR APPLY b -> A b (masked
+    # stencil + Γ-band planes in one pass): the v5e-safe replacement for
+    # the XLA patch-slice AL form, which faults the runtime when composed
+    # into the CG while_loop at fine lattices > 4096 (exp5 bisection,
+    # PARITY.md round 4).
+    n_ops = 1 if mode == "op" else (degree - 1) + (mode != "smooth")
     if n_ops > H:
         return None
     T = min(T, max(H, (py // H) * H))
@@ -467,7 +472,8 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
     nhb = -(-py // H)
     K0, M0, K1, M1 = [[float(v) for v in f] for f in factors]
     Kc = K0[1] * M1[1] + M0[1] * K1[1]   # constant interior stencil center
-    theta, coeffs = _cheb_scalars(lam_max, degree, eig_ratio)
+    theta, coeffs = ((1.0, []) if mode == "op"
+                     else _cheb_scalars(lam_max, degree, eig_ratio))
     have_patch = planes is not None
     if have_patch:
         r0, c0, pr, pc = [int(v) for v in patch_box]
@@ -602,6 +608,10 @@ def fused_chebyshev_2d(factors, shape, planes, patch_box, lam_max,
                             shift_cols(shift_rows(pe[k] * zw, dr), dc, PW))
                 acc = acc + embed(accw)
             return jnp.where(inm, acc, x)
+
+        if mode == "op":
+            out_ref[:, :] = op(b_ext)[H:H + T, :].astype(dtype)
+            return
 
         rhs = b_ext if mode != "post" else b_ext - op(x0_ext)
         x = dinv * rhs * (1.0 / theta)

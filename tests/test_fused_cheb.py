@@ -164,6 +164,29 @@ def test_fused_pre_mode_matches():
     assert np.abs(np.asarray(r_f) - r_ref).max() <= 5e-5 * rscale
 
 
+def test_fused_op_mode_matches():
+    """op: the single-pass MASKED AUGMENTED OPERATOR APPLY b -> A b
+    (constrained stiffness stencil + Γ-band AL planes in one kernel) —
+    the v5e-safe replacement for the XLA patch AL form above the
+    LAT_MAX_FINE gate (models.immersed_laplace._fused_aug_lat)."""
+    n = 521
+    factors, planes, box, ref_op, dinv, rng = _setup_ref(n)
+    fused = fused_chebyshev_2d(factors, (n, n), planes, box, 1.0,
+                               dtype=jnp.float32, interpret=True,
+                               mode="op")
+    b = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    x_ref = np.asarray(ref_op(b))
+    x_f = np.asarray(fused(b))
+    scale = np.abs(x_ref).max()
+    assert np.abs(x_f - x_ref).max() <= 2e-5 * scale
+    # boundary rows/cols pass through the identity block
+    np.testing.assert_allclose(np.asarray(x_f)[0], np.asarray(x_ref)[0],
+                               rtol=1e-5, atol=2e-6 * scale)
+    np.testing.assert_allclose(np.asarray(x_f)[:, -1],
+                               np.asarray(x_ref)[:, -1],
+                               rtol=1e-5, atol=2e-6 * scale)
+
+
 def test_fused_post_mode_matches():
     """post: (b, x0) -> x0 + cheb(b - A x0) in one pass (the V-cycle's
     coarse-corrected post-smooth)."""
