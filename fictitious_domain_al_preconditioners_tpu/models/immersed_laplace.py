@@ -621,7 +621,15 @@ class ImmersedLaplaceProblem:
                     else:
                         def pre(b):
                             return tuple(pre2(b))
-            if os.environ.get("FDAL_FUSED_CHEB_PREPOST") == "1":
+            # post (single-output) is ON BY DEFAULT in the big regime: the
+            # restricted composition (op kernel, no pre, no XLA patch)
+            # composes cleanly with it on the v5e (ref 12: 0.364 -> 0.338 s,
+            # iteration parity 4 = 4).  BELOW the gate it still faults —
+            # post-only faults too, so the round-3 defect involves the XLA
+            # patch + post interaction, not pre+post — and stays opt-in.
+            post_default = "1" if self._lat_big() else "0"
+            if os.environ.get("FDAL_FUSED_CHEB_PREPOST",
+                              post_default) == "1":
                 post2 = mk("post")
                 if post2 is not None:
                     if flat:
