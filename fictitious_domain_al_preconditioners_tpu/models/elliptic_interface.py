@@ -356,7 +356,11 @@ class EllipticInterfaceProblem:
         )
         return int(info.iterations)
 
-    def _build_solver(self):
+    def _build_solver(self, raw_rhs: bool = False):
+        """With ``raw_rhs`` the returned jit takes the assembled block
+        right-hand side ``(r0, r1, r2)`` directly (no Dirichlet lifting, no
+        final boundary overwrite) — the correction engine of
+        :meth:`solve_refined`."""
         cfg = self.cfg
         layout = self.layout
         gamma_1 = self.gamma_bg
@@ -578,19 +582,97 @@ class EllipticInterfaceProblem:
 
         A1_raw = A1_lin
 
+        def solve_core(b):
+            return fgmres(system_operator, b, prec,
+                          tol=cfg.outer.tolerance,
+                          reduction=cfg.outer.reduction,
+                          max_steps=cfg.outer.max_steps,
+                          restart=cfg.fgmres_restart)
+
+        from ..utils.hoist import jit_hoisted
+
+        dt = self.rhs_f1.dtype
+        if raw_rhs:
+            def run_raw(r0, r1, r2):
+                x, info = solve_core(layout.concat((r0, r1, r2)))
+                return x, info
+
+            ex = (jax.ShapeDtypeStruct((n_bg,), dt),
+                  jax.ShapeDtypeStruct((n_fg,), dt),
+                  jax.ShapeDtypeStruct((n_fg,), dt))
+            return jit_hoisted(run_raw, ex)
+
         def run(rhs_f1, rhs_f2, bc_values):
             b0 = dirichlet_rhs(A1_raw, rhs_f1, free, bc_values)
             b = layout.concat((b0, rhs_f2, jnp.zeros(n_fg, dtype=b0.dtype)))
-            x, info = fgmres(system_operator, b, prec,
-                             tol=cfg.outer.tolerance,
-                             reduction=cfg.outer.reduction,
-                             max_steps=cfg.outer.max_steps,
-                             restart=cfg.fgmres_restart)
+            x, info = solve_core(b)
             u, u2, lam = layout.split(x)
             u = jnp.where(free, u, bc_values)
             return layout.concat((u, u2, lam)), info
 
-        return jax.jit(run)
+        # hoisted jit: the GMG diagonals/masks and coupling tables stay
+        # runtime arguments, keeping the (remote-)compile payload KB-sized
+        # at the reference's 8-cycle (~1M dof) scale
+        ex = (jax.ShapeDtypeStruct((n_bg,), dt),
+              jax.ShapeDtypeStruct((n_fg,), dt),
+              jax.ShapeDtypeStruct((n_bg,), dt))
+        return jit_hoisted(run, ex)
+
+    def build_correction_solver(self):
+        """jit of ``(r0, r1, r2) -> (x, info)``: one AL-preconditioned
+        FGMRES solve of the 3x3 system with a RAW right-hand side — the
+        inner engine of :meth:`solve_refined`."""
+        return self._build_solver(raw_rhs=True)
+
+    def solve_refined(self, tol_abs: float = 1e-10, max_refine: int = 12):
+        """Mixed-precision iterative refinement to REFERENCE solve quality
+        on TPU (the elliptic analog of
+        models.immersed_laplace.solve_refined): the f32 jitted solver
+        produces corrections on device; the TRUE residual of the 3x3 block
+        system is evaluated in f64 on the host (ops.host_ref
+        .HostEllipticSystem) and the loop runs until it reaches ``tol_abs``
+        — the reference's 1e-12 'Outer solver control: Tolerance'
+        (parameters_elliptic_interface/parameters_ideal.prm), which plain
+        f32 cannot reach.
+
+        Returns ``(u, u2, lam, history)`` with f64 iterates and per-step
+        true residual norms; ``self.results`` records total iterations."""
+        from ..ops.host_ref import HostEllipticSystem
+
+        host = HostEllipticSystem(self)
+        corr = self.build_correction_solver()
+        dt = self.rhs_f1.dtype
+        u = np.zeros(self.space.n_dofs)
+        u2 = np.zeros(self.fg_space.n_dofs)
+        lam = np.zeros(self.fg_space.n_dofs)
+        history = []
+        total_iters = 0
+        for _ in range(max_refine):
+            r0, r1, r2 = host.residual(u, u2, lam)
+            res = float(np.sqrt(r0 @ r0 + r1 @ r1 + r2 @ r2))
+            history.append(res)
+            if res <= tol_abs:
+                break
+            s = res  # normalize so f32 corrections stay well-scaled
+            x, info = corr(jnp.asarray((r0 / s).astype(dt)),
+                           jnp.asarray((r1 / s).astype(dt)),
+                           jnp.asarray((r2 / s).astype(dt)))
+            du, du2, dlam = self.layout.split(x)
+            total_iters += int(info.iterations)
+            u = u + s * np.asarray(du, dtype=np.float64)
+            u2 = u2 + s * np.asarray(du2, dtype=np.float64)
+            lam = lam + s * np.asarray(dlam, dtype=np.float64)
+        self.u = jnp.asarray(u, dtype=dt)
+        self.u2 = jnp.asarray(u2, dtype=dt)
+        self.lam = jnp.asarray(lam, dtype=dt)
+        self.results.update(
+            dofs_background=self.space.n_dofs,
+            dofs_immersed=self.fg_space.n_dofs,
+            outer_iterations=total_iters,
+            refined_residual=history[-1],
+            refine_steps=len(history) - 1,
+            converged=history[-1] <= tol_abs)
+        return u, u2, lam, history
 
     # -- diagnostics --------------------------------------------------------
 

@@ -460,8 +460,11 @@ class StokesProblem:
         return build_gmg(self.vel_space, factory, free_mask=self.free,
                          n_comp=sd)
 
-    def _build_ibstokes_al(self):
-        """IBStokesAL (stokes_immersed_boundary.cc:918-1074)."""
+    def _build_ibstokes_al(self, raw_rhs: bool = False):
+        """IBStokesAL (stokes_immersed_boundary.cc:918-1074).  With
+        ``raw_rhs`` the returned jit takes the assembled block right-hand
+        side ``(r0, r1, r2)`` directly — the correction engine of
+        :meth:`solve_refined`."""
         cfg = self.cfg
         sd = cfg.spacedim
         layout = self.layout
@@ -541,6 +544,24 @@ class StokesProblem:
         A_raw = self.A.as_linop()
         solver = minres if cfg.al.diagonal_spd_prec else fgmres
 
+        def solve_core(b):
+            kw = dict(tol=cfg.outer.tolerance, reduction=cfg.outer.reduction,
+                      max_steps=cfg.outer.max_steps)
+            if solver is fgmres:
+                kw["restart"] = cfg.fgmres_restart
+            return solver(AA, b, prec, **kw)
+
+        from ..utils.hoist import jit_hoisted
+
+        dt = self.rhs_u.dtype
+        if raw_rhs:
+            def run_raw(r0, r1, r2):
+                return solve_core(layout.concat((r0, r1, r2)))
+
+            ex = tuple(jax.ShapeDtypeStruct((n,), dt)
+                       for n in layout.sizes)
+            return jit_hoisted(run_raw, ex)
+
         def run(rhs_u, rhs_g, bc_values):
             b0 = dirichlet_rhs(A_raw, rhs_u, free, bc_values)
             b0 = b0 + jnp.where(free, gamma * Ct_lin(inv_w(rhs_g)), 0.0)
@@ -548,16 +569,17 @@ class StokesProblem:
             b1 = -self.B.mv(g_ext)  # lifting of inhomogeneous velocity BCs
             b2 = rhs_g - self.C.mv(g_ext)
             b = layout.concat((b0, b1, b2))
-            kw = dict(tol=cfg.outer.tolerance, reduction=cfg.outer.reduction,
-                      max_steps=cfg.outer.max_steps)
-            if solver is fgmres:
-                kw["restart"] = cfg.fgmres_restart
-            x, info = solver(AA, b, prec, **kw)
+            x, info = solve_core(b)
             u, p, lam = layout.split(x)
             u = jnp.where(free, u, bc_values)
             return layout.concat((u, p, lam)), info
 
-        return jax.jit(run)
+        # hoisted jit: cell tables/GMG constants stay runtime arguments so
+        # the (remote-)compile payload stays KB-sized at >= 1M-dof rows
+        ex = (jax.ShapeDtypeStruct((layout.sizes[0],), dt),
+              jax.ShapeDtypeStruct((layout.sizes[2],), dt),
+              jax.ShapeDtypeStruct((layout.sizes[0],), dt))
+        return jit_hoisted(run, ex)
 
     def _a_inv_exact(self):
         """Tight GMG-CG inverse of the velocity block (UMFPACK stand-in)."""
@@ -646,6 +668,60 @@ class StokesProblem:
             return layout.concat((u, p, lam)), info
 
         return jax.jit(run)
+
+    def build_correction_solver(self):
+        """jit of ``(r0, r1, r2) -> (x, info)``: one AL-preconditioned
+        solve of the IBStokesAL system with a RAW right-hand side — the
+        inner engine of :meth:`solve_refined`."""
+        assert self.cfg.solver == "IBStokesAL"
+        return self._build_ibstokes_al(raw_rhs=True)
+
+    def solve_refined(self, tol_abs: float = 1e-8, max_refine: int = 12):
+        """Mixed-precision iterative refinement of the IBStokesAL solve to
+        REFERENCE quality on TPU: f32 corrections on device, TRUE f64
+        residual of the 3x3 block system on the host (ops.host_ref
+        .HostStokesSystem), looped to ``tol_abs`` — the reference's 1e-8
+        'Stokes solver control: Tolerance' (parameters_stokes.prm), which
+        plain f32 cannot reach.
+
+        Returns ``(u, p, lam, history)``; ``self.results`` records totals.
+        """
+        from ..ops.host_ref import HostStokesSystem
+
+        host = HostStokesSystem(self)
+        corr = self.build_correction_solver()
+        dt = self.rhs_u.dtype
+        u = np.zeros(self.layout.sizes[0])
+        p = np.zeros(self.layout.sizes[1])
+        lam = np.zeros(self.layout.sizes[2])
+        history = []
+        total_iters = 0
+        for _ in range(max_refine):
+            r0, r1, r2 = host.residual(u, p, lam)
+            res = float(np.sqrt(r0 @ r0 + r1 @ r1 + r2 @ r2))
+            history.append(res)
+            if res <= tol_abs:
+                break
+            s = res  # normalize so f32 corrections stay well-scaled
+            x, info = corr(jnp.asarray((r0 / s).astype(dt)),
+                           jnp.asarray((r1 / s).astype(dt)),
+                           jnp.asarray((r2 / s).astype(dt)))
+            du, dp, dlam = self.layout.split(x)
+            total_iters += int(info.iterations)
+            u = u + s * np.asarray(du, dtype=np.float64)
+            p = p + s * np.asarray(dp, dtype=np.float64)
+            lam = lam + s * np.asarray(dlam, dtype=np.float64)
+        self.u = jnp.asarray(u, dtype=dt)
+        self.p = jnp.asarray(p, dtype=dt)
+        self.lam = jnp.asarray(lam, dtype=dt)
+        self.results.update(
+            dofs_background=self.layout.sizes[0] + self.layout.sizes[1],
+            dofs_immersed=self.layout.sizes[2],
+            outer_iterations=total_iters,
+            refined_residual=history[-1],
+            refine_steps=len(history) - 1,
+            converged=history[-1] <= tol_abs)
+        return u, p, lam, history
 
     # -- diagnostics --------------------------------------------------------
 

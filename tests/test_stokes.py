@@ -142,3 +142,42 @@ class Test3D:
         u, p, lam, info = prob.solve()
         assert prob.results["converged"]
         assert prob.constraint_residual() < 1e-4
+
+
+class TestRefinedSolve:
+    """Mixed-precision iterative refinement for IBStokesAL (VERDICT r3 #2):
+    the host f64 reference apply (ops.host_ref.HostStokesSystem) must
+    reproduce the jitted block operator, and solve_refined must drive the
+    TRUE residual to the reference's 1e-8 'Stokes solver control'
+    (parameters_stokes.prm)."""
+
+    def test_host_residual_matches_jitted(self):
+        from fictitious_domain_al_preconditioners_tpu.ops.host_ref import (
+            HostStokesSystem,
+        )
+
+        prob = StokesProblem(config_2d(
+            al=ALControl(grad_div_stabilization=True,
+                         inverse_diag_square=True)))
+        prob.cfg.outer.tolerance = 1e-9
+        prob.setup()
+        u, p, lam, info = prob.solve()
+        host = HostStokesSystem(prob)
+        r0, r1, r2 = host.residual(np.asarray(u, float),
+                                   np.asarray(p, float),
+                                   np.asarray(lam, float))
+        res = float(np.sqrt(r0 @ r0 + r1 @ r1 + r2 @ r2))
+        jres = float(info.residual)
+        assert abs(res - jres) <= 1e-3 * max(jres, 1e-14), (res, jres)
+
+    @pytest.mark.parametrize("diag_w", [True, False])
+    def test_refinement_reaches_reference_tolerance(self, diag_w):
+        prob = StokesProblem(config_2d(
+            al=ALControl(grad_div_stabilization=True,
+                         inverse_diag_square=diag_w)))
+        prob.cfg.outer.tolerance = 1e-5
+        prob.setup()
+        u, p, lam, hist = prob.solve_refined(tol_abs=1e-10)
+        assert prob.results["converged"], hist
+        assert hist[-1] <= 1e-10
+        assert prob.results["refine_steps"] <= 5, hist
