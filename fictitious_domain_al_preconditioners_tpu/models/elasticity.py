@@ -231,7 +231,10 @@ class ElasticityInterfaceProblem:
             residual=float(info.residual))
         return int(info.iterations)
 
-    def _build_solver(self):
+    def _build_solver(self, raw_rhs: bool = False):
+        """With ``raw_rhs`` the returned jit takes the assembled block
+        right-hand side ``(r0, r1, r2)`` directly — the correction engine
+        of :meth:`solve_refined`."""
         cfg = self.cfg
         dim = cfg.dim
         layout = self.layout
@@ -351,21 +354,85 @@ class ElasticityInterfaceProblem:
 
         A1_raw = self.A1.as_linop()
 
+        def solve_core(b):
+            return fgmres(system_operator, b, prec,
+                          tol=cfg.outer.tolerance,
+                          reduction=cfg.outer.reduction,
+                          max_steps=cfg.outer.max_steps,
+                          restart=cfg.fgmres_restart)
+
+        from ..utils.hoist import jit_hoisted
+
+        dt = self.rhs_f1.dtype
+        if raw_rhs:
+            def run_raw(r0, r1, r2):
+                return solve_core(layout.concat((r0, r1, r2)))
+
+            ex = tuple(jax.ShapeDtypeStruct((n,), dt) for n in layout.sizes)
+            return jit_hoisted(run_raw, ex)
+
         def run(rhs_f1, rhs_f2):
             b0 = dirichlet_rhs(A1_raw, rhs_f1, free,
                                jnp.zeros_like(rhs_f1))
             b = layout.concat((b0, rhs_f2,
                                jnp.zeros(layout.sizes[2], dtype=b0.dtype)))
-            x, info = fgmres(system_operator, b, prec,
-                             tol=cfg.outer.tolerance,
-                             reduction=cfg.outer.reduction,
-                             max_steps=cfg.outer.max_steps,
-                             restart=cfg.fgmres_restart)
+            x, info = solve_core(b)
             u, u2, lam = layout.split(x)
             u = jnp.where(free, u, 0.0)
             return layout.concat((u, u2, lam)), info
 
-        return jax.jit(run)
+        # hoisted jit: the 3D vector cell tables are the dominant compile
+        # payload at cycle >= 1; parked as runtime args they cost nothing
+        ex = (jax.ShapeDtypeStruct((layout.sizes[0],), dt),
+              jax.ShapeDtypeStruct((layout.sizes[1],), dt))
+        return jit_hoisted(run, ex)
+
+    def build_correction_solver(self):
+        """jit of ``(r0, r1, r2) -> (x, info)`` with a RAW right-hand side —
+        the inner engine of :meth:`solve_refined`."""
+        return self._build_solver(raw_rhs=True)
+
+    def solve_refined(self, tol_abs: float = 1e-10, max_refine: int = 12):
+        """Mixed-precision iterative refinement (f32 on-chip corrections +
+        host-f64 true residual, ops.host_ref.HostElasticitySystem) to the
+        reference outer-control regime — the elasticity analog of
+        models.elliptic_interface.solve_refined."""
+        from ..ops.host_ref import HostElasticitySystem
+
+        host = HostElasticitySystem(self)
+        corr = self.build_correction_solver()
+        dt = self.rhs_f1.dtype
+        u = np.zeros(self.layout.sizes[0])
+        u2 = np.zeros(self.layout.sizes[1])
+        lam = np.zeros(self.layout.sizes[2])
+        history = []
+        total_iters = 0
+        for _ in range(max_refine):
+            r0, r1, r2 = host.residual(u, u2, lam)
+            res = float(np.sqrt(r0 @ r0 + r1 @ r1 + r2 @ r2))
+            history.append(res)
+            if res <= tol_abs:
+                break
+            s = res
+            x, info = corr(jnp.asarray((r0 / s).astype(dt)),
+                           jnp.asarray((r1 / s).astype(dt)),
+                           jnp.asarray((r2 / s).astype(dt)))
+            du, du2, dlam = self.layout.split(x)
+            total_iters += int(info.iterations)
+            u = u + s * np.asarray(du, dtype=np.float64)
+            u2 = u2 + s * np.asarray(du2, dtype=np.float64)
+            lam = lam + s * np.asarray(dlam, dtype=np.float64)
+        self.u = jnp.asarray(u, dtype=dt)
+        self.u2 = jnp.asarray(u2, dtype=dt)
+        self.lam = jnp.asarray(lam, dtype=dt)
+        self.results.update(
+            dofs_background=self.layout.sizes[0],
+            dofs_immersed=self.layout.sizes[1],
+            outer_iterations=total_iters,
+            refined_residual=history[-1],
+            refine_steps=len(history) - 1,
+            converged=history[-1] <= tol_abs)
+        return u, u2, lam, history
 
     def constraint_residual(self) -> float:
         return float(jnp.max(jnp.abs(

@@ -18,7 +18,45 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["HostAugmentedSystem", "HostEllipticSystem", "HostStokesSystem"]
+__all__ = ["HostAugmentedSystem", "HostEllipticSystem", "HostStokesSystem",
+           "HostElasticitySystem"]
+
+
+class _HostVectorCoupling:
+    """f64 componentwise vector coupling from a scalar quad-point table
+    (models.stokes.VectorCoupling semantics: component-major flat vectors)."""
+
+    def __init__(self, scalar, sd: int):
+        self.sd = sd
+        self.bg_dofs = np.asarray(scalar.bg_dofs)
+        self.bg_phi = np.asarray(scalar.bg_phi, dtype=np.float64)
+        self.imm_dofs = np.asarray(scalar.imm_dofs)
+        self.imm_psi = np.asarray(scalar.imm_psi, dtype=np.float64)
+        self.jxw = np.asarray(scalar.jxw, dtype=np.float64)
+        self.nu = scalar.shape[1]
+        self.m = scalar.shape[0]
+
+    def _s_mv(self, us):              # (nu, k)
+        vals = np.einsum("qak,qa->qk", us[self.bg_dofs],
+                         self.bg_phi) * self.jxw[:, None]
+        out = np.zeros((self.m, us.shape[1]))
+        np.add.at(out, self.imm_dofs,
+                  self.imm_psi[:, :, None] * vals[:, None, :])
+        return out
+
+    def _st_mv(self, lam_s):          # (m, k)
+        vals = np.einsum("qak,qa->qk", lam_s[self.imm_dofs],
+                         self.imm_psi) * self.jxw[:, None]
+        out = np.zeros((self.nu, lam_s.shape[1]))
+        np.add.at(out, self.bg_dofs,
+                  self.bg_phi[:, :, None] * vals[:, None, :])
+        return out
+
+    def mv(self, u):
+        return self._s_mv(u.reshape(self.sd, self.nu).T).T.reshape(-1)
+
+    def rmv(self, lam):
+        return self._st_mv(lam.reshape(self.sd, self.m).T).T.reshape(-1)
 
 
 def _host_cg(mv, b, dinv, tol=1e-14, max_steps=2000):
@@ -349,12 +387,7 @@ class HostStokesSystem:
                                             dtype=np.float64)
         self.m = prob.M_imm_s.shape[0]
         self.nu = prob.vel_space.n_dofs
-        Cs = prob.Cs
-        self.bg_dofs = np.asarray(Cs.bg_dofs)
-        self.bg_phi = np.asarray(Cs.bg_phi, dtype=np.float64)
-        self.imm_dofs = np.asarray(Cs.imm_dofs)
-        self.imm_psi = np.asarray(Cs.imm_psi, dtype=np.float64)
-        self.jxw = np.asarray(Cs.jxw, dtype=np.float64)
+        self.Cv = _HostVectorCoupling(prob.Cs, sd)
         self.diag_w = bool(cfg.al.inverse_diag_square)
         self.mdiag_inv = 1.0 / np.asarray(prob.M_imm_s.diag(),
                                           dtype=np.float64)
@@ -363,31 +396,11 @@ class HostStokesSystem:
         self.rhs_u = np.asarray(prob.rhs_u, dtype=np.float64)
         self.rhs_g = np.asarray(prob.rhs_g, dtype=np.float64)
 
-    # -- scalar coupling table ---------------------------------------------
-
-    def _cs_mv(self, us):             # (nu, k) scalar velocity components
-        vals = np.einsum("qak,qa->qk", us[self.bg_dofs],
-                         self.bg_phi) * self.jxw[:, None]
-        out = np.zeros((self.m, us.shape[1]))
-        np.add.at(out, self.imm_dofs,
-                  self.imm_psi[:, :, None] * vals[:, None, :])
-        return out
-
-    def _cst_mv(self, lam_s):         # (m, k)
-        vals = np.einsum("qak,qa->qk", lam_s[self.imm_dofs],
-                         self.imm_psi) * self.jxw[:, None]
-        out = np.zeros((self.nu, lam_s.shape[1]))
-        np.add.at(out, self.bg_dofs,
-                  self.bg_phi[:, :, None] * vals[:, None, :])
-        return out
-
     def c_mv(self, u):
-        us = u.reshape(self.sd, self.nu).T          # (nu, sd)
-        return self._cs_mv(us).T.reshape(-1)
+        return self.Cv.mv(u)
 
     def ct_mv(self, lam):
-        ls = lam.reshape(self.sd, self.m).T
-        return self._cst_mv(ls).T.reshape(-1)
+        return self.Cv.rmv(lam)
 
     def inv_w(self, lam):
         ls = lam.reshape(self.sd, self.m).T
@@ -447,4 +460,74 @@ class HostStokesSystem:
     def residual(self, u, p, lam):
         b0, b1, b2 = self.rhs()
         r0, r1, r2 = self.apply(u, p, lam)
+        return b0 - r0, b1 - r1, b2 - r2
+
+
+class HostElasticitySystem:
+    """f64 host apply + rhs of the 3D elasticity-interface 3x3 system
+    (models.elasticity._build_solver; reconstructed executable — see that
+    module's header).  Same block structure as the elliptic system with
+    vector fields, W = M² componentwise, homogeneous Dirichlet data:
+
+        [A11(=P A1 P + (I-P) + γ1 CᵀW⁻¹C)  A12   Cᵀ  ] [u ]   [P f1]
+        [A21                               A22   -M  ] [u2] = [f2]
+        [C                                 -M    0   ] [λ ]   [0]
+    """
+
+    def __init__(self, prob):
+        cfg = prob.cfg
+        self.dim = dim = cfg.dim
+        self.gamma_1 = float(prob.gamma_bg)
+        self.gamma_2 = float(prob.gamma_imm)
+        self.A1 = _HostCellMat(prob.A1)
+        self.A2 = _HostCellMat(prob.A2)
+        self.Mimm = _HostCellMat(prob.M)
+        self.Cv = _HostVectorCoupling(prob.Cs, dim)
+        self.n_fg_s = prob.fg_gridspace.n_dofs
+        self.diag_w = bool(cfg.use_diagonal_inverse)
+        self.mdiag_inv = 1.0 / np.asarray(prob.M.diag(), dtype=np.float64)
+        self.free = np.asarray(prob.free, dtype=bool)
+        self.rhs_f1 = np.asarray(prob.rhs_f1, dtype=np.float64)
+        self.rhs_f2 = np.asarray(prob.rhs_f2, dtype=np.float64)
+
+    def m_vec(self, x):
+        v = x.reshape(self.dim, self.n_fg_s).T
+        return self.Mimm.mv(v).T.reshape(-1)
+
+    def inv_w(self, lam):
+        ls = lam.reshape(self.dim, self.n_fg_s).T
+        if self.diag_w:
+            out = (self.mdiag_inv ** 2)[:, None] * ls
+        else:
+            out = _host_cg(self.Mimm.mv, _host_cg(self.Mimm.mv, ls,
+                                                  self.mdiag_inv),
+                           self.mdiag_inv)
+        return out.T.reshape(-1)
+
+    def a11_mv(self, u):
+        m = self.free
+        a = np.where(m, self.A1.mv(np.where(m, u, 0.0)), u)
+        # AL term is NOT masked (models.elasticity.AL11)
+        return a + self.gamma_1 * self.Cv.rmv(self.inv_w(self.Cv.mv(u)))
+
+    def a22_mv(self, u2):
+        return self.A2.mv(u2) + self.gamma_2 * self.m_vec(
+            self.inv_w(self.m_vec(u2)))
+
+    def apply(self, u, u2, lam):
+        r0 = (self.a11_mv(u)
+              - self.gamma_1 * self.Cv.rmv(self.inv_w(self.m_vec(u2)))
+              + self.Cv.rmv(lam))
+        r1 = (-self.gamma_2 * self.m_vec(self.inv_w(self.Cv.mv(u)))
+              + self.a22_mv(u2) - self.m_vec(lam))
+        r2 = self.Cv.mv(u) - self.m_vec(u2)
+        return r0, r1, r2
+
+    def rhs(self):
+        b0 = np.where(self.free, self.rhs_f1, 0.0)
+        return b0, self.rhs_f2, np.zeros(self.rhs_f2.shape[0])
+
+    def residual(self, u, u2, lam):
+        b0, b1, b2 = self.rhs()
+        r0, r1, r2 = self.apply(u, u2, lam)
         return b0 - r0, b1 - r1, b2 - r2

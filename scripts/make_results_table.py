@@ -208,23 +208,26 @@ def nitsche_rows(cycles):
 
 
 def elasticity_rows(cycles):
-    """3D elasticity interface (reconstructed executable; modified AL)."""
+    """3D elasticity interface (reconstructed executable; modified AL) —
+    f32 on-chip + host-f64 refinement (VERDICT r3 #5: 3+ cycles pinned)."""
     from fictitious_domain_al_preconditioners_tpu.models import (
         ElasticityInterfaceConfig, ElasticityInterfaceProblem,
     )
 
     rows = []
     for cyc in range(cycles):
-        cfg = ElasticityInterfaceConfig()
+        cfg = ElasticityInterfaceConfig(use_fixed_iterations=True)
+        cfg.outer.tolerance = 3e-5
+        cfg.outer.reduction = 1e-5
         prob = ElasticityInterfaceProblem(cfg)
         prob.setup(cyc)
-        prob.solve()
         t0 = time.perf_counter()
-        its = prob.solve()
+        u, u2, lam, hist = prob.solve_refined(tol_abs=1e-10)
         dt = time.perf_counter() - t0
         rows.append((prob.results["dofs_background"],
-                     prob.results["dofs_immersed"], its, dt,
-                     prob.constraint_residual()))
+                     prob.results["dofs_immersed"],
+                     prob.results["outer_iterations"],
+                     prob.results["refine_steps"], hist[-1], dt))
         print("elasticity", rows[-1], flush=True)
     return rows
 
@@ -266,7 +269,8 @@ ROWSPECS = [
     ("stokes", "7:8"), ("stokes", "8:9"), ("stokes", "9:10"),
     ("stokes3d", "3:2"), ("stokes3d", "4:3"), ("stokes3d", "5:4"),
     ("nitsche", "0"), ("nitsche", "1"), ("nitsche", "2"),
-    ("elasticity", "0"),
+    ("nitsche", "3"),
+    ("elasticity", "0"), ("elasticity", "1"), ("elasticity", "2"),
 ]
 
 
@@ -352,10 +356,10 @@ def orchestrate(only=None):
         cmd = [sys.executable, os.path.abspath(__file__), "--row",
                f"{kind}:{arg}"]
         env = dict(os.environ)
-        if kind in ("nitsche", "elasticity"):
+        if kind == "nitsche":
             # small systems, run at the reference's precision (f64 on-chip).
-            # elliptic/stokes rows now run f32 on-chip + host-f64 iterative
-            # refinement instead (solve_refined; round-4 VERDICT #2).
+            # elliptic/stokes/elasticity rows run f32 on-chip + host-f64
+            # iterative refinement instead (solve_refined; round-4 #2/#5).
             env["JAX_ENABLE_X64"] = "1"
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
@@ -479,12 +483,12 @@ def main():
         "Last column: inner CG iterations per outer FGMRES iteration (the",
         "reference's per-outer accounting, nitsche_bcs.cc:652-667).",
         "",
-        fmt_with_failures(get("nitsche", ["0", "1", "2"]), fmt_nitsche,
-                          "({n} row(s) failed)"),
+        fmt_with_failures(get("nitsche", ["0", "1", "2", "3"]),
+                          fmt_nitsche, "({n} row(s) failed)"),
         "",
-        "## elliptic_interface_elasticity 3D (reconstructed; modified AL) — f64",
+        "## elliptic_interface_elasticity 3D (reconstructed; modified AL) — f32 + refinement to 1e-10",
         "",
-        fmt_with_failures(get("elasticity", ["0"]), fmt,
+        fmt_with_failures(get("elasticity", ["0", "1", "2"]), fmt_refined,
                           "({n} row(s) failed)"),
         "",
     ]
