@@ -180,7 +180,10 @@ class NitscheProblem:
         self._solver = None
         return self
 
-    def _build_solver(self):
+    def _build_solver(self, raw_rhs: bool = False):
+        """With ``raw_rhs`` the returned jit takes the assembled block
+        right-hand side ``(r0, r1)`` directly — the correction engine of
+        :meth:`solve_refined`."""
         cfg = self.cfg
         layout = self.layout
         h_boundary = self.bmesh.h_max
@@ -243,12 +246,21 @@ class NitscheProblem:
                 self.C.bg_phi * (g_q * self.C.jxw)[:, None]))
         aug_rhs = jnp.asarray(aug_rhs)
 
-        def run(rhs_f, rhs_g):
-            b = layout.concat((rhs_f + aug_rhs, rhs_g))
-            x, info, inner_total = fgmres(
+        def solve_core(b):
+            return fgmres(
                 AA, b, prec_counted, tol=cfg.outer.tolerance,
                 reduction=cfg.outer.reduction, max_steps=cfg.outer.max_steps,
                 restart=cfg.fgmres_restart, m_returns_aux=True)
+
+        if raw_rhs:
+            def run_raw(r0, r1):
+                return solve_core(layout.concat((r0, r1)))
+
+            return jax.jit(run_raw)
+
+        def run(rhs_f, rhs_g):
+            b = layout.concat((rhs_f + aug_rhs, rhs_g))
+            x, info, inner_total = solve_core(b)
             return x, info, inner_total
 
         return jax.jit(run)
@@ -273,6 +285,53 @@ class NitscheProblem:
             residual=float(info.residual),
         )
         return outer
+
+    def build_correction_solver(self):
+        """jit of ``(r0, r1) -> (x, info, inner_total)`` with a RAW block
+        right-hand side — the inner engine of :meth:`solve_refined`."""
+        return self._build_solver(raw_rhs=True)
+
+    def solve_refined(self, tol_abs: float = 1e-10, max_refine: int = 12):
+        """Mixed-precision iterative refinement (f32 on-chip + host-f64 true
+        residual via ops.host_ref.HostNitscheSystem) to the reference's
+        outer-control regime (parameters_nitsche.prm) — the nitsche analog
+        of models.immersed_laplace.solve_refined."""
+        from ..ops.host_ref import HostNitscheSystem
+
+        host = HostNitscheSystem(self)
+        corr = self.build_correction_solver()
+        dt = self.rhs_f.dtype
+        u = np.zeros(self.space.n_dofs)
+        lam = np.zeros(self.mult_space.n_dofs)
+        history = []
+        total_outer = 0
+        total_inner = 0
+        for _ in range(max_refine):
+            r0, r1 = host.residual(u, lam)
+            res = float(np.sqrt(r0 @ r0 + r1 @ r1))
+            history.append(res)
+            if res <= tol_abs:
+                break
+            s = res
+            x, info, inner = corr(jnp.asarray((r0 / s).astype(dt)),
+                                  jnp.asarray((r1 / s).astype(dt)))
+            du, dlam = self.layout.split(x)
+            total_outer += int(info.iterations)
+            total_inner += int(inner)
+            u = u + s * np.asarray(du, dtype=np.float64)
+            lam = lam + s * np.asarray(dlam, dtype=np.float64)
+        self.u = jnp.asarray(u, dtype=dt)
+        self.lam = jnp.asarray(lam, dtype=dt)
+        self.results.update(
+            dofs_u=self.space.n_dofs,
+            dofs_lambda=self.mult_space.n_dofs,
+            outer_its=total_outer,
+            inner_cg_total=total_inner,
+            inner_cg_per_outer=float(total_inner) / max(total_outer, 1),
+            refined_residual=history[-1],
+            refine_steps=len(history) - 1,
+            converged=history[-1] <= tol_abs)
+        return u, lam, history
 
     def errors(self):
         return (l2_error(self.space, self.u, manufactured_solution),

@@ -463,6 +463,70 @@ class HostStokesSystem:
         return b0 - r0, b1 - r1, b2 - r2
 
 
+class HostNitscheSystem:
+    """f64 host apply + rhs of the Nitsche boundary-multiplier 2x2 system
+
+        [K + M + γ(1/h)Σφφᵀ   Cᵀ] [u]   [f + γ(1/h)(g,φ)_∂Ω]
+        [C                    0 ] [λ] = [(g, μ)]
+
+    (models.nitsche_bcs._build_solver; nitsche_bcs.cc:515-632).  No strong
+    Dirichlet rows — the boundary condition IS the multiplier equation."""
+
+    def __init__(self, prob):
+        cfg = prob.cfg
+        self.K = _HostCellMat(prob.K)
+        self.Mbulk = _HostCellMat(prob.Mbulk)
+        C = prob.C
+        self.n = prob.space.n_dofs
+        self.m = prob.mult_space.n_dofs
+        self.bg_dofs = np.asarray(C.bg_dofs)
+        self.bg_phi = np.asarray(C.bg_phi, dtype=np.float64)
+        self.imm_dofs = np.asarray(C.imm_dofs)
+        self.imm_psi = np.asarray(C.imm_psi, dtype=np.float64)
+        self.jxw = np.asarray(C.jxw, dtype=np.float64)
+        self.gal = float(cfg.gamma) / float(prob.bmesh.h_max)
+        self.rhs_f = np.asarray(prob.rhs_f, dtype=np.float64)
+        self.rhs_g = np.asarray(prob.rhs_g, dtype=np.float64)
+        # consistent rhs augmentation γ(1/h)(g, φ)_∂Ω from the quad table
+        g_q = np.asarray(prob.g_fn(np.asarray(C.points)), dtype=np.float64)
+        aug = np.zeros(self.n)
+        np.add.at(aug, self.bg_dofs,
+                  self.bg_phi * (g_q * self.jxw)[:, None])
+        self.aug_rhs = self.gal * aug
+
+    def c_mv(self, u):
+        vals = np.einsum("qa,qa->q", u[self.bg_dofs], self.bg_phi) * self.jxw
+        out = np.zeros(self.m)
+        np.add.at(out, self.imm_dofs, self.imm_psi * vals[:, None])
+        return out
+
+    def ct_mv(self, lam):
+        vals = np.einsum("qa,qa->q", lam[self.imm_dofs],
+                         self.imm_psi) * self.jxw
+        out = np.zeros(self.n)
+        np.add.at(out, self.bg_dofs, self.bg_phi * vals[:, None])
+        return out
+
+    def al_mv(self, u):
+        vals = np.einsum("qa,qa->q", u[self.bg_dofs], self.bg_phi) * self.jxw
+        out = np.zeros(self.n)
+        np.add.at(out, self.bg_dofs, self.bg_phi * vals[:, None])
+        return self.gal * out
+
+    def apply(self, u, lam):
+        r0 = (self.K.mv(u) + self.Mbulk.mv(u) + self.al_mv(u)
+              + self.ct_mv(lam))
+        return r0, self.c_mv(u)
+
+    def rhs(self):
+        return self.rhs_f + self.aug_rhs, self.rhs_g
+
+    def residual(self, u, lam):
+        b0, b1 = self.rhs()
+        r0, r1 = self.apply(u, lam)
+        return b0 - r0, b1 - r1
+
+
 class HostElasticitySystem:
     """f64 host apply + rhs of the 3D elasticity-interface 3x3 system
     (models.elasticity._build_solver; reconstructed executable — see that

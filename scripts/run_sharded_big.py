@@ -100,14 +100,11 @@ def _impl(ref: int) -> None:
 
 def main():
     ref = int(sys.argv[1]) if len(sys.argv) > 1 else 11
-    try:
-        import jax
-
-        ok = (jax.default_backend() == "cpu" and len(jax.devices()) >= 8)
-    except Exception:
-        ok = False
-    if ok:
-        return _impl(ref)
+    # NO in-process jax probe here: this environment's sitecustomize
+    # registers the tunneled-TPU backend at import and a wedged tunnel makes
+    # `import jax` + backend queries HANG (not raise).  Always re-exec with
+    # the CPU platform forced before the interpreter starts AND via
+    # jax.config (belt and braces, like tests/conftest.py).
     env = dict(os.environ)
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
