@@ -243,7 +243,10 @@ class HostEllipticSystem:
 
     with A11_aug = P(β1 A1 + AL11)P + (I-P), A12 = -γ1 Cᵀ W⁻¹ M,
     A21 = -γ2 M W⁻¹ C, A22 = (β2-β1) A2 + γ2 M W⁻¹ M — mirroring
-    models.elliptic_interface._build_solver exactly (diagonal W only).
+    models.elliptic_interface._build_solver exactly, for all four W
+    variants (elliptic_interface.cc:700-739): W = diag(M·M) / M² in the
+    default form, W = diag(M) / M in the h-scaled and operator forms; the
+    exact (non-diagonal) inverses run as nested f64 host CG.
     Built from an :class:`~..models.elliptic_interface
     .EllipticInterfaceProblem` after ``setup()``.
 
@@ -254,8 +257,6 @@ class HostEllipticSystem:
 
     def __init__(self, prob):
         cfg = prob.cfg
-        assert cfg.use_diagonal_inverse, \
-            "host reference apply: diagonal W variants only"
         self.n = prob.space.n_dofs
         self.m = prob.fg_space.n_dofs
         self.beta_1 = float(prob.beta_1)
@@ -276,15 +277,20 @@ class HostEllipticSystem:
         self.imm_psi = np.asarray(C.imm_psi, dtype=np.float64)
         self.jxw = np.asarray(C.jxw, dtype=np.float64)
 
-        if cfg.use_h_scaled_mass or cfg.use_operator_form:
-            self.w_diag = 1.0 / np.asarray(prob.M.diag(), dtype=np.float64)
-        else:
-            from ..precond.weights import inv_diag_of_m_squared
-            import jax.numpy as jnp
+        # W variants: mass_w -> W = (diag(M) | M); else W = (diag(M·M) | M²)
+        self.diag_w = bool(cfg.use_diagonal_inverse)
+        self.mass_w = bool(cfg.use_h_scaled_mass or cfg.use_operator_form)
+        self.mdiag_inv = 1.0 / np.asarray(prob.M.diag(), dtype=np.float64)
+        if self.diag_w:
+            if self.mass_w:
+                self.w_diag = self.mdiag_inv
+            else:
+                from ..precond.weights import inv_diag_of_m_squared
+                import jax.numpy as jnp
 
-            self.w_diag = np.asarray(
-                inv_diag_of_m_squared(prob.M)(jnp.ones(self.m)),
-                dtype=np.float64)
+                self.w_diag = np.asarray(
+                    inv_diag_of_m_squared(prob.M)(jnp.ones(self.m)),
+                    dtype=np.float64)
 
         self.operator_form = bool(cfg.use_operator_form)
         if self.operator_form:
@@ -317,6 +323,14 @@ class HostEllipticSystem:
         np.add.at(out, self.bg_dofs, self.bg_phi * vals[:, None])
         return out
 
+    def inv_w(self, x):
+        """W⁻¹x for the active variant; exact inverses via Jacobi-CG in f64
+        (one solve for W = M, nested for W = M²)."""
+        if self.diag_w:
+            return self.w_diag * x
+        y = _host_cg(self.M.mv, x, self.mdiag_inv)
+        return y if self.mass_w else _host_cg(self.M.mv, y, self.mdiag_inv)
+
     def al11_mv(self, u):
         if self.operator_form:
             vals = np.einsum("qa,qa->q", u[self.al_dofs],
@@ -324,7 +338,7 @@ class HostEllipticSystem:
             out = np.zeros(self.n)
             np.add.at(out, self.al_dofs, self.al_phi * vals[:, None])
             return self.gamma_1 * out
-        return self.gamma_1 * self.ct_mv(self.w_diag * self.c_mv(u))
+        return self.gamma_1 * self.ct_mv(self.inv_w(self.c_mv(u)))
 
     def a11_aug_mv(self, u):
         m = self.free
@@ -334,15 +348,15 @@ class HostEllipticSystem:
 
     def a22_mv(self, u2):
         return self.A2.mv(u2) + self.gamma_2 * self.M.mv(
-            self.w_diag * self.M.mv(u2))
+            self.inv_w(self.M.mv(u2)))
 
     def apply(self, u, u2, lam):
         """Full 3x3 block apply -> (row0, row1, row2).  A12/Cᵀ are NOT
         masked in row 0, matching the jitted system_operator."""
         r0 = (self.a11_aug_mv(u)
-              - self.gamma_1 * self.ct_mv(self.w_diag * self.M.mv(u2))
+              - self.gamma_1 * self.ct_mv(self.inv_w(self.M.mv(u2)))
               + self.ct_mv(lam))
-        r1 = (-self.gamma_2 * self.M.mv(self.w_diag * self.c_mv(u))
+        r1 = (-self.gamma_2 * self.M.mv(self.inv_w(self.c_mv(u)))
               + self.a22_mv(u2) - self.M.mv(lam))
         r2 = self.c_mv(u) - self.M.mv(u2)
         return r0, r1, r2

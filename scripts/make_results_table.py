@@ -63,7 +63,7 @@ def elliptic_rows(cycles):
     )
 
     rows = []
-    for cyc in range(cycles):
+    for cyc in cycles:
         cfg = EllipticInterfaceConfig(
             initial_background_refinement=5, initial_immersed_refinement=3,
             beta_2=1e3, use_modified_AL_preconditioner=True,
@@ -193,7 +193,7 @@ def nitsche_rows(cycles):
     )
 
     rows = []
-    for cyc in range(cycles):
+    for cyc in cycles:
         cfg = NitscheConfig(use_manufactured_solution=True)
         prob = NitscheProblem(cfg)
         prob.setup(cyc)
@@ -215,7 +215,7 @@ def elasticity_rows(cycles):
     )
 
     rows = []
-    for cyc in range(cycles):
+    for cyc in cycles:
         cfg = ElasticityInterfaceConfig(use_fixed_iterations=True)
         cfg.outer.tolerance = 3e-5
         cfg.outer.reduction = 1e-5
@@ -282,7 +282,7 @@ def compute_row(kind, arg):
     if kind == "rational":
         return rational_rows([int(arg)])[0]
     if kind == "elliptic":
-        return elliptic_rows(int(arg) + 1)[-1]
+        return elliptic_rows([int(arg)])[0]
     if kind == "stokes":
         r, e = arg.split(":")
         return stokes_rows([(int(r), int(e))])[0]
@@ -290,9 +290,9 @@ def compute_row(kind, arg):
         r, e = arg.split(":")
         return stokes_rows([(int(r), int(e))], spacedim=3)[0]
     if kind == "nitsche":
-        return nitsche_rows(int(arg) + 1)[-1]
+        return nitsche_rows([int(arg)])[0]
     if kind == "elasticity":
-        return elasticity_rows(int(arg) + 1)[-1]
+        return elasticity_rows([int(arg)])[0]
     raise ValueError(kind)
 
 
