@@ -35,6 +35,7 @@ from ..ops.operators import CellMatrix, constrain, dirichlet_rhs
 from ..precond.al import al_preconditioner_modified
 from ..precond.gmg import build_gmg
 from ..utils.prm import Params, parse_prm
+from ..utils.precision import full_matmul_precision
 from ..utils.timer import TimerOutput
 from .elliptic_interface import ControlConfig
 from .stokes import VectorCoupling
@@ -141,6 +142,7 @@ class ElasticityInterfaceProblem:
         self.gamma_imm = config.gamma_AL_immersed
 
     def setup(self, cycle: int = 0):
+        self._refine_cache = None
         cfg = self.cfg
         dim = cfg.dim
         with self.timer.scope("Setup"):
@@ -369,7 +371,7 @@ class ElasticityInterfaceProblem:
                 return solve_core(layout.concat((r0, r1, r2)))
 
             ex = tuple(jax.ShapeDtypeStruct((n,), dt) for n in layout.sizes)
-            return jit_hoisted(run_raw, ex)
+            return jit_hoisted(full_matmul_precision(run_raw), ex)
 
         def run(rhs_f1, rhs_f2):
             b0 = dirichlet_rhs(A1_raw, rhs_f1, free,
@@ -385,7 +387,7 @@ class ElasticityInterfaceProblem:
         # payload at cycle >= 1; parked as runtime args they cost nothing
         ex = (jax.ShapeDtypeStruct((layout.sizes[0],), dt),
               jax.ShapeDtypeStruct((layout.sizes[1],), dt))
-        return jit_hoisted(run, ex)
+        return jit_hoisted(full_matmul_precision(run), ex)
 
     def build_correction_solver(self):
         """jit of ``(r0, r1, r2) -> (x, info)`` with a RAW right-hand side —
@@ -399,8 +401,13 @@ class ElasticityInterfaceProblem:
         models.elliptic_interface.solve_refined."""
         from ..ops.host_ref import HostElasticitySystem
 
-        host = HostElasticitySystem(self)
-        corr = self.build_correction_solver()
+        # memoized per setup(): a second solve_refined on the same
+        # problem re-runs the CACHED executable (table timing runs
+        # warm-up + timed pass, like the plain-solve rows)
+        if getattr(self, '_refine_cache', None) is None:
+            self._refine_cache = (HostElasticitySystem(self),
+                                  self.build_correction_solver())
+        host, corr = self._refine_cache
         dt = self.rhs_f1.dtype
         u = np.zeros(self.layout.sizes[0])
         u2 = np.zeros(self.layout.sizes[1])

@@ -45,6 +45,7 @@ from ..precond.gmg import build_gmg
 from ..precond.weights import (inv_diag, inv_diag_of_m_squared, inv_exact,
                                inv_squared_exact)
 from ..utils.expressions import ParsedFunction
+from ..utils.precision import full_matmul_precision
 from ..utils.prm import Params, parse_prm
 from ..utils.report import ConvergenceTable
 from ..utils.timer import TimerOutput
@@ -206,6 +207,7 @@ class EllipticInterfaceProblem:
     # -- per-cycle setup ----------------------------------------------------
 
     def setup(self, cycle: int = 0):
+        self._refine_cache = None
         cfg = self.cfg
         with self.timer.scope("Grid generation"):
             if cfg.do_convergence_study:
@@ -600,7 +602,7 @@ class EllipticInterfaceProblem:
             ex = (jax.ShapeDtypeStruct((n_bg,), dt),
                   jax.ShapeDtypeStruct((n_fg,), dt),
                   jax.ShapeDtypeStruct((n_fg,), dt))
-            return jit_hoisted(run_raw, ex)
+            return jit_hoisted(full_matmul_precision(run_raw), ex)
 
         def run(rhs_f1, rhs_f2, bc_values):
             b0 = dirichlet_rhs(A1_raw, rhs_f1, free, bc_values)
@@ -616,7 +618,7 @@ class EllipticInterfaceProblem:
         ex = (jax.ShapeDtypeStruct((n_bg,), dt),
               jax.ShapeDtypeStruct((n_fg,), dt),
               jax.ShapeDtypeStruct((n_bg,), dt))
-        return jit_hoisted(run, ex)
+        return jit_hoisted(full_matmul_precision(run), ex)
 
     def build_correction_solver(self):
         """jit of ``(r0, r1, r2) -> (x, info)``: one AL-preconditioned
@@ -639,8 +641,13 @@ class EllipticInterfaceProblem:
         true residual norms; ``self.results`` records total iterations."""
         from ..ops.host_ref import HostEllipticSystem
 
-        host = HostEllipticSystem(self)
-        corr = self.build_correction_solver()
+        # memoized per setup(): a second solve_refined on the same
+        # problem re-runs the CACHED executable (table timing runs
+        # warm-up + timed pass, like the plain-solve rows)
+        if getattr(self, '_refine_cache', None) is None:
+            self._refine_cache = (HostEllipticSystem(self),
+                                  self.build_correction_solver())
+        host, corr = self._refine_cache
         dt = self.rhs_f1.dtype
         u = np.zeros(self.space.n_dofs)
         u2 = np.zeros(self.fg_space.n_dofs)

@@ -154,6 +154,7 @@ class ImmersedLaplaceProblem:
     # -- setup --------------------------------------------------------------
 
     def setup(self):
+        self._refine_cache = None
         cfg = self.cfg
         with self.timer.scope("Setup grids and dofs"):
             conf = ParsedFunction(*cfg.embedded_configuration)
@@ -901,8 +902,13 @@ class ImmersedLaplaceProblem:
         residual norms; ``self.results`` records total outer iterations."""
         from ..ops.host_ref import HostAugmentedSystem
 
-        host = HostAugmentedSystem(self)
-        corr = self.build_correction_solver()
+        # memoized per setup(): a second solve_refined on the same
+        # problem re-runs the CACHED executable (table timing runs
+        # warm-up + timed pass, like the plain-solve rows)
+        if getattr(self, '_refine_cache', None) is None:
+            self._refine_cache = (HostAugmentedSystem(self),
+                                  self.build_correction_solver())
+        host, corr = self._refine_cache
         dt = self.rhs_f.dtype
         u = np.zeros(self.space.n_dofs)
         lam = np.zeros(self.imm_space.n_dofs)

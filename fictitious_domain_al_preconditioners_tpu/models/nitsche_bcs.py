@@ -40,6 +40,7 @@ from ..precond.al import al_preconditioner
 from ..precond.gmg import build_gmg
 from ..precond.weights import inv_exact
 from ..utils.expressions import ParsedFunction
+from ..utils.precision import full_matmul_precision
 from ..utils.prm import Params, parse_prm
 from ..utils.report import ConvergenceTable
 from ..utils.timer import TimerOutput
@@ -138,6 +139,7 @@ class NitscheProblem:
         self.results = {}
 
     def setup(self, cycle: int = 0):
+        self._refine_cache = None
         cfg = self.cfg
         with self.timer.scope("Setup grids and dofs"):
             self.grid = background_grid_from_name(
@@ -256,14 +258,14 @@ class NitscheProblem:
             def run_raw(r0, r1):
                 return solve_core(layout.concat((r0, r1)))
 
-            return jax.jit(run_raw)
+            return jax.jit(full_matmul_precision(run_raw))
 
         def run(rhs_f, rhs_g):
             b = layout.concat((rhs_f + aug_rhs, rhs_g))
             x, info, inner_total = solve_core(b)
             return x, info, inner_total
 
-        return jax.jit(run)
+        return jax.jit(full_matmul_precision(run))
 
     def solve(self):
         cfg = self.cfg
@@ -298,8 +300,13 @@ class NitscheProblem:
         of models.immersed_laplace.solve_refined."""
         from ..ops.host_ref import HostNitscheSystem
 
-        host = HostNitscheSystem(self)
-        corr = self.build_correction_solver()
+        # memoized per setup(): a second solve_refined on the same
+        # problem re-runs the CACHED executable (table timing runs
+        # warm-up + timed pass, like the plain-solve rows)
+        if getattr(self, '_refine_cache', None) is None:
+            self._refine_cache = (HostNitscheSystem(self),
+                                  self.build_correction_solver())
+        host, corr = self._refine_cache
         dt = self.rhs_f.dtype
         u = np.zeros(self.space.n_dofs)
         lam = np.zeros(self.mult_space.n_dofs)

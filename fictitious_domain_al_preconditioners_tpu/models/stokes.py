@@ -42,6 +42,7 @@ from ..ops.operators import CellMatrix, constrain, dirichlet_rhs
 from ..precond.al import (al_preconditioner_diagonal, al_preconditioner_stokes)
 from ..precond.gmg import build_gmg
 from ..utils.expressions import ParsedFunction
+from ..utils.precision import full_matmul_precision
 from ..utils.prm import Params, parse_prm
 from ..utils.timer import TimerOutput
 
@@ -193,6 +194,7 @@ class StokesProblem:
     # -- setup --------------------------------------------------------------
 
     def setup(self):
+        self._refine_cache = None
         cfg = self.cfg
         sd = cfg.spacedim
         with self.timer.scope("Setup grids and dofs"):
@@ -560,7 +562,7 @@ class StokesProblem:
 
             ex = tuple(jax.ShapeDtypeStruct((n,), dt)
                        for n in layout.sizes)
-            return jit_hoisted(run_raw, ex)
+            return jit_hoisted(full_matmul_precision(run_raw), ex)
 
         def run(rhs_u, rhs_g, bc_values):
             b0 = dirichlet_rhs(A_raw, rhs_u, free, bc_values)
@@ -579,7 +581,7 @@ class StokesProblem:
         ex = (jax.ShapeDtypeStruct((layout.sizes[0],), dt),
               jax.ShapeDtypeStruct((layout.sizes[2],), dt),
               jax.ShapeDtypeStruct((layout.sizes[0],), dt))
-        return jit_hoisted(run, ex)
+        return jit_hoisted(full_matmul_precision(run), ex)
 
     def _a_inv_exact(self):
         """Tight GMG-CG inverse of the velocity block (UMFPACK stand-in)."""
@@ -626,7 +628,7 @@ class StokesProblem:
             lam = jnp.zeros(layout.sizes[2], dtype=u.dtype)
             return layout.concat((u, p, lam)), info
 
-        return jax.jit(run)
+        return jax.jit(full_matmul_precision(run))
 
     def _build_ibstokes(self):
         """IBStokes: nested exact Schur complements, no preconditioner
@@ -667,7 +669,7 @@ class StokesProblem:
             u = jnp.where(free, u, bc_values)
             return layout.concat((u, p, lam)), info
 
-        return jax.jit(run)
+        return jax.jit(full_matmul_precision(run))
 
     def build_correction_solver(self):
         """jit of ``(r0, r1, r2) -> (x, info)``: one AL-preconditioned
@@ -688,8 +690,13 @@ class StokesProblem:
         """
         from ..ops.host_ref import HostStokesSystem
 
-        host = HostStokesSystem(self)
-        corr = self.build_correction_solver()
+        # memoized per setup(): a second solve_refined on the same
+        # problem re-runs the CACHED executable (table timing runs
+        # warm-up + timed pass, like the plain-solve rows)
+        if getattr(self, '_refine_cache', None) is None:
+            self._refine_cache = (HostStokesSystem(self),
+                                  self.build_correction_solver())
+        host, corr = self._refine_cache
         dt = self.rhs_u.dtype
         u = np.zeros(self.layout.sizes[0])
         p = np.zeros(self.layout.sizes[1])

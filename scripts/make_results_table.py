@@ -73,6 +73,7 @@ def elliptic_rows(cycles):
         cfg.outer.reduction = 1e-5
         prob = EllipticInterfaceProblem(cfg)
         prob.setup(cyc)
+        prob.solve_refined(tol_abs=1e-10)  # warm: compile + caches
         t0 = time.perf_counter()
         u, u2, lam, hist = prob.solve_refined(tol_abs=1e-10)
         dt = time.perf_counter() - t0
@@ -109,6 +110,7 @@ def stokes_rows(refs, spacedim=2):
         cfg.outer.reduction = 1e-5
         prob = StokesProblem(cfg)
         prob.setup()
+        prob.solve_refined(tol_abs=1e-8)  # warm: compile + caches
         t0 = time.perf_counter()
         u, p, lam, hist = prob.solve_refined(tol_abs=1e-8)
         dt = time.perf_counter() - t0
@@ -172,6 +174,7 @@ def refined_rows(refs):
         cfg.schur.reduction = 1e-6
         prob = ImmersedLaplaceProblem(cfg)
         prob.setup()
+        prob.solve_refined(tol_abs=1e-10)  # warm: compile + caches
         t0 = time.perf_counter()
         u, lam, hist = prob.solve_refined(tol_abs=1e-10)
         dt = time.perf_counter() - t0
@@ -221,6 +224,7 @@ def elasticity_rows(cycles):
         cfg.outer.reduction = 1e-5
         prob = ElasticityInterfaceProblem(cfg)
         prob.setup(cyc)
+        prob.solve_refined(tol_abs=1e-10)  # warm: compile + caches
         t0 = time.perf_counter()
         u, u2, lam, hist = prob.solve_refined(tol_abs=1e-10)
         dt = time.perf_counter() - t0

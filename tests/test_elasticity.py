@@ -26,6 +26,31 @@ class TestElasticity:
         assert np.all(np.isfinite(u))
         assert np.abs(u).max() > 0
 
+    def test_table_config_cycle0_golden(self):
+        # per-cycle golden pin for the results-table config (VERDICT r3 #5):
+        # CPU f64 counts for cycles 0-2 are 23, 24, 48 (cycles 1-2 recorded
+        # in PARITY.md; cycle 1 pinned in the slow test below, cycle 2 is
+        # ~25 min on CPU so it is table-only).
+        cfg = ElasticityInterfaceConfig(use_fixed_iterations=True)
+        cfg.outer.tolerance = 1e-9
+        prob = ElasticityInterfaceProblem(cfg)
+        prob.setup(0)
+        its = prob.solve()
+        assert prob.results["converged"]
+        assert abs(its - 23) <= 2, its       # golden
+        assert prob.constraint_residual() < 1e-6
+
+    @pytest.mark.slow
+    def test_table_config_cycle1_golden(self):
+        cfg = ElasticityInterfaceConfig(use_fixed_iterations=True)
+        cfg.outer.tolerance = 1e-9
+        prob = ElasticityInterfaceProblem(cfg)
+        prob.setup(1)
+        its = prob.solve()
+        assert prob.results["converged"]
+        assert abs(its - 24) <= 2, its       # golden
+        assert prob.constraint_residual() < 1e-7
+
     def test_from_reference_prm(self):
         import os
 
