@@ -77,8 +77,17 @@ def inv_exact(M: CellMatrix, tol: float = 0.0, reduction: float = 1e-14,
     dinv = 1.0 / M.diag()
 
     def mv(x):
+        # f32 floor: a 1e-14 reduction is unreachable in single precision,
+        # so the nested CG would spin max_steps on EVERY W^-1 apply —
+        # stalling the compiled solver long enough to trip the v5e worker
+        # watchdog (the elliptic:3+ table-row "crashes"; same signature as
+        # the Stokes inner-CG item in PARITY.md).  Jacobi-CG on a mass
+        # matrix reaches the f32 floor in ~30 steps.
+        red = reduction
+        if x.dtype == jnp.float32:
+            red = max(reduction, 2e-7)
         y, _ = cg(M.mv, x, M=lambda r: dinv * r, tol=tol,
-                  reduction=reduction, max_steps=max_steps)
+                  reduction=red, max_steps=max_steps)
         return scale * y
 
     return LinOp(mv, M.shape, mv, name="M^-1")
