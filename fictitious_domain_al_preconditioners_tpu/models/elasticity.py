@@ -248,7 +248,11 @@ class ElasticityInterfaceProblem:
         Ct_lin = C_lin.T
         M_vec = self._imm_vec_op(self.M)
 
-        # W = M² (componentwise): exact inverse twice or diag(M)^{-2}
+        # W = M² (componentwise): exact inverse twice or diag(M)^{-2}.  The
+        # exact variant uses the tensor-product lattice factorization of the
+        # uniform immersed box grid (precond.weights.lattice_mass_inverse):
+        # exact at any size with O(1) apply latency, replacing the former
+        # nested Jacobi-CG that dominated the 3D cycles on TPU.
         d = self.M.diag()
         if cfg.use_diagonal_inverse:
             dinv2 = 1.0 / d ** 2
@@ -256,17 +260,24 @@ class ElasticityInterfaceProblem:
             def inv_w(lam):
                 return (dinv2[:, None] * lam.reshape(dim, n_fg_s).T).T.reshape(-1)
         else:
-            dinv = 1.0 / d
+            from ..precond.weights import lattice_mass_inverse
 
-            def m_inv_s(v):
-                x, _ = cg(self.M.mv, v,
-                          M=lambda r: dinv[:, None] * r if r.ndim == 2 else dinv * r,
-                          tol=0.0, reduction=1e-14, max_steps=1000)
-                return x
+            lat2 = lattice_mass_inverse(self.fg_gridspace, squared=True)
+            if lat2 is not None:
+                def inv_w(lam):
+                    return lat2(lam.reshape(dim, n_fg_s).T).T.reshape(-1)
+            else:
+                dinv = 1.0 / d
 
-            def inv_w(lam):
-                v = lam.reshape(dim, n_fg_s).T
-                return m_inv_s(m_inv_s(v)).T.reshape(-1)
+                def m_inv_s(v):
+                    x, _ = cg(self.M.mv, v,
+                              M=lambda r: dinv[:, None] * r if r.ndim == 2 else dinv * r,
+                              tol=0.0, reduction=1e-14, max_steps=1000)
+                    return x
+
+                def inv_w(lam):
+                    v = lam.reshape(dim, n_fg_s).T
+                    return m_inv_s(m_inv_s(v)).T.reshape(-1)
 
         w_diag_scalar = np.asarray(1.0 / d ** 2)
 
@@ -400,6 +411,7 @@ class ElasticityInterfaceProblem:
         reference outer-control regime — the elasticity analog of
         models.elliptic_interface.solve_refined."""
         from ..ops.host_ref import HostElasticitySystem
+        from ..utils.refine import guarded_refinement
 
         # memoized per setup(): a second solve_refined on the same
         # problem re-runs the CACHED executable (table timing runs
@@ -409,26 +421,14 @@ class ElasticityInterfaceProblem:
                                   self.build_correction_solver())
         host, corr = self._refine_cache
         dt = self.rhs_f1.dtype
-        u = np.zeros(self.layout.sizes[0])
-        u2 = np.zeros(self.layout.sizes[1])
-        lam = np.zeros(self.layout.sizes[2])
-        history = []
-        total_iters = 0
-        for _ in range(max_refine):
-            r0, r1, r2 = host.residual(u, u2, lam)
-            res = float(np.sqrt(r0 @ r0 + r1 @ r1 + r2 @ r2))
-            history.append(res)
-            if res <= tol_abs:
-                break
-            s = res
-            x, info = corr(jnp.asarray((r0 / s).astype(dt)),
-                           jnp.asarray((r1 / s).astype(dt)),
-                           jnp.asarray((r2 / s).astype(dt)))
-            du, du2, dlam = self.layout.split(x)
-            total_iters += int(info.iterations)
-            u = u + s * np.asarray(du, dtype=np.float64)
-            u2 = u2 + s * np.asarray(du2, dtype=np.float64)
-            lam = lam + s * np.asarray(dlam, dtype=np.float64)
+
+        def correct(rs):
+            x, info = corr(*(jnp.asarray(r.astype(dt)) for r in rs))
+            return ([np.asarray(p, dtype=np.float64)
+                     for p in self.layout.split(x)], int(info.iterations))
+
+        (u, u2, lam), history, total_iters, converged = guarded_refinement(
+            host.residual, correct, self.layout.sizes, tol_abs, max_refine)
         self.u = jnp.asarray(u, dtype=dt)
         self.u2 = jnp.asarray(u2, dtype=dt)
         self.lam = jnp.asarray(lam, dtype=dt)
@@ -438,7 +438,7 @@ class ElasticityInterfaceProblem:
             outer_iterations=total_iters,
             refined_residual=history[-1],
             refine_steps=len(history) - 1,
-            converged=history[-1] <= tol_abs)
+            converged=converged)
         return u, u2, lam, history
 
     def constraint_residual(self) -> float:

@@ -390,14 +390,17 @@ class EllipticInterfaceProblem:
         n_bg = self.space.n_dofs
         n_fg = self.fg_space.n_dofs
 
-        # W^{-1} options (elliptic_interface.cc:700-739)
+        # W^{-1} options (elliptic_interface.cc:700-739); the exact inverses
+        # use the tensor-product lattice factorization when the immersed
+        # space is a uniform box grid (any size, O(1) apply latency —
+        # precond.weights.lattice_mass_inverse), the UMFPACK-parity path
         if cfg.use_h_scaled_mass or cfg.use_operator_form:
             inv_w = (inv_diag(self.M) if cfg.use_diagonal_inverse
-                     else inv_exact(self.M))
+                     else inv_exact(self.M, space=self.fg_gridspace))
             w_diag = 1.0 / np.asarray(self.M.diag())
         else:
             inv_w = (inv_diag_of_m_squared(self.M) if cfg.use_diagonal_inverse
-                     else inv_squared_exact(self.M))
+                     else inv_squared_exact(self.M, space=self.fg_gridspace))
             rowsum2 = inv_diag_of_m_squared(self.M)
             w_diag = np.asarray(rowsum2(jnp.ones(n_fg)))
 
@@ -638,8 +641,13 @@ class EllipticInterfaceProblem:
         f32 cannot reach.
 
         Returns ``(u, u2, lam, history)`` with f64 iterates and per-step
-        true residual norms; ``self.results`` records total iterations."""
+        true residual norms; ``self.results`` records total iterations.
+        Divergence-guarded: see utils.refine.guarded_refinement.  The host
+        reference and correction solver are cached per ``setup()``; any
+        mutation of rhs/bc/γ state must go through ``setup()`` (or reset
+        ``_refine_cache``) to take effect here."""
         from ..ops.host_ref import HostEllipticSystem
+        from ..utils.refine import guarded_refinement
 
         # memoized per setup(): a second solve_refined on the same
         # problem re-runs the CACHED executable (table timing runs
@@ -649,26 +657,14 @@ class EllipticInterfaceProblem:
                                   self.build_correction_solver())
         host, corr = self._refine_cache
         dt = self.rhs_f1.dtype
-        u = np.zeros(self.space.n_dofs)
-        u2 = np.zeros(self.fg_space.n_dofs)
-        lam = np.zeros(self.fg_space.n_dofs)
-        history = []
-        total_iters = 0
-        for _ in range(max_refine):
-            r0, r1, r2 = host.residual(u, u2, lam)
-            res = float(np.sqrt(r0 @ r0 + r1 @ r1 + r2 @ r2))
-            history.append(res)
-            if res <= tol_abs:
-                break
-            s = res  # normalize so f32 corrections stay well-scaled
-            x, info = corr(jnp.asarray((r0 / s).astype(dt)),
-                           jnp.asarray((r1 / s).astype(dt)),
-                           jnp.asarray((r2 / s).astype(dt)))
-            du, du2, dlam = self.layout.split(x)
-            total_iters += int(info.iterations)
-            u = u + s * np.asarray(du, dtype=np.float64)
-            u2 = u2 + s * np.asarray(du2, dtype=np.float64)
-            lam = lam + s * np.asarray(dlam, dtype=np.float64)
+
+        def correct(rs):
+            x, info = corr(*(jnp.asarray(r.astype(dt)) for r in rs))
+            return ([np.asarray(p, dtype=np.float64)
+                     for p in self.layout.split(x)], int(info.iterations))
+
+        (u, u2, lam), history, total_iters, converged = guarded_refinement(
+            host.residual, correct, self.layout.sizes, tol_abs, max_refine)
         self.u = jnp.asarray(u, dtype=dt)
         self.u2 = jnp.asarray(u2, dtype=dt)
         self.lam = jnp.asarray(lam, dtype=dt)
@@ -678,7 +674,7 @@ class EllipticInterfaceProblem:
             outer_iterations=total_iters,
             refined_residual=history[-1],
             refine_steps=len(history) - 1,
-            converged=history[-1] <= tol_abs)
+            converged=converged)
         return u, u2, lam, history
 
     # -- diagnostics --------------------------------------------------------

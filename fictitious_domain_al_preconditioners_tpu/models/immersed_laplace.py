@@ -899,8 +899,13 @@ class ImmersedLaplaceProblem:
         Tolerance' (parameters/circle/*.prm), which plain f32 cannot reach.
 
         Returns ``(u, lam, history)`` with f64 iterates and the per-step true
-        residual norms; ``self.results`` records total outer iterations."""
+        residual norms; ``self.results`` records total outer iterations.
+        Divergence-guarded: see utils.refine.guarded_refinement.  The host
+        reference and correction solver are cached per ``setup()``; any
+        mutation of rhs/bc/γ state must go through ``setup()`` (or reset
+        ``_refine_cache``) to take effect here."""
         from ..ops.host_ref import HostAugmentedSystem
+        from ..utils.refine import guarded_refinement
 
         # memoized per setup(): a second solve_refined on the same
         # problem re-runs the CACHED executable (table timing runs
@@ -910,27 +915,21 @@ class ImmersedLaplaceProblem:
                                   self.build_correction_solver())
         host, corr = self._refine_cache
         dt = self.rhs_f.dtype
-        u = np.zeros(self.space.n_dofs)
-        lam = np.zeros(self.imm_space.n_dofs)
-        history = []
-        total_iters = 0
-        for _ in range(max_refine):
-            r0, r1 = host.residual(u, lam)
-            res = float(np.sqrt(r0 @ r0 + r1 @ r1))
-            history.append(res)
-            if res <= tol_abs:
-                break
-            s = res  # normalize so f32 corrections stay well-scaled
-            du, dlam, info = corr(jnp.asarray((r0 / s).astype(dt)),
-                                  jnp.asarray((r1 / s).astype(dt)))
-            total_iters += int(info.iterations)
-            u = u + s * np.asarray(du, dtype=np.float64)
-            lam = lam + s * np.asarray(dlam, dtype=np.float64)
+
+        def correct(rs):
+            du, dlam, info = corr(*(jnp.asarray(r.astype(dt)) for r in rs))
+            return ([np.asarray(du, dtype=np.float64),
+                     np.asarray(dlam, dtype=np.float64)],
+                    int(info.iterations))
+
+        (u, lam), history, total_iters, converged = guarded_refinement(
+            host.residual, correct,
+            (self.space.n_dofs, self.imm_space.n_dofs), tol_abs, max_refine)
         self.u, self.lam = jnp.asarray(u, dtype=dt), jnp.asarray(lam, dtype=dt)
         self.results.update(outer_iterations=total_iters,
                             refined_residual=history[-1],
                             refine_steps=len(history) - 1,
-                            converged=history[-1] <= tol_abs)
+                            converged=converged)
         return u, lam, history
 
     def _augmented_run(self, raw_rhs: bool = False):

@@ -299,6 +299,7 @@ class NitscheProblem:
         outer-control regime (parameters_nitsche.prm) — the nitsche analog
         of models.immersed_laplace.solve_refined."""
         from ..ops.host_ref import HostNitscheSystem
+        from ..utils.refine import guarded_refinement
 
         # memoized per setup(): a second solve_refined on the same
         # problem re-runs the CACHED executable (table timing runs
@@ -308,36 +309,28 @@ class NitscheProblem:
                                   self.build_correction_solver())
         host, corr = self._refine_cache
         dt = self.rhs_f.dtype
-        u = np.zeros(self.space.n_dofs)
-        lam = np.zeros(self.mult_space.n_dofs)
-        history = []
-        total_outer = 0
-        total_inner = 0
-        for _ in range(max_refine):
-            r0, r1 = host.residual(u, lam)
-            res = float(np.sqrt(r0 @ r0 + r1 @ r1))
-            history.append(res)
-            if res <= tol_abs:
-                break
-            s = res
-            x, info, inner = corr(jnp.asarray((r0 / s).astype(dt)),
-                                  jnp.asarray((r1 / s).astype(dt)))
-            du, dlam = self.layout.split(x)
-            total_outer += int(info.iterations)
-            total_inner += int(inner)
-            u = u + s * np.asarray(du, dtype=np.float64)
-            lam = lam + s * np.asarray(dlam, dtype=np.float64)
+        inner_total = [0]
+
+        def correct(rs):
+            x, info, inner = corr(*(jnp.asarray(r.astype(dt)) for r in rs))
+            inner_total[0] += int(inner)
+            return ([np.asarray(p, dtype=np.float64)
+                     for p in self.layout.split(x)], int(info.iterations))
+
+        (u, lam), history, total_outer, converged = guarded_refinement(
+            host.residual, correct,
+            (self.space.n_dofs, self.mult_space.n_dofs), tol_abs, max_refine)
         self.u = jnp.asarray(u, dtype=dt)
         self.lam = jnp.asarray(lam, dtype=dt)
         self.results.update(
             dofs_u=self.space.n_dofs,
             dofs_lambda=self.mult_space.n_dofs,
             outer_its=total_outer,
-            inner_cg_total=total_inner,
-            inner_cg_per_outer=float(total_inner) / max(total_outer, 1),
+            inner_cg_total=inner_total[0],
+            inner_cg_per_outer=float(inner_total[0]) / max(total_outer, 1),
             refined_residual=history[-1],
             refine_steps=len(history) - 1,
-            converged=history[-1] <= tol_abs)
+            converged=converged)
         return u, lam, history
 
     def errors(self):

@@ -687,8 +687,13 @@ class StokesProblem:
         plain f32 cannot reach.
 
         Returns ``(u, p, lam, history)``; ``self.results`` records totals.
+        Divergence-guarded: see utils.refine.guarded_refinement.  The host
+        reference and correction solver are cached per ``setup()``; any
+        mutation of rhs/bc/γ state must go through ``setup()`` (or reset
+        ``_refine_cache``) to take effect here.
         """
         from ..ops.host_ref import HostStokesSystem
+        from ..utils.refine import guarded_refinement
 
         # memoized per setup(): a second solve_refined on the same
         # problem re-runs the CACHED executable (table timing runs
@@ -698,26 +703,14 @@ class StokesProblem:
                                   self.build_correction_solver())
         host, corr = self._refine_cache
         dt = self.rhs_u.dtype
-        u = np.zeros(self.layout.sizes[0])
-        p = np.zeros(self.layout.sizes[1])
-        lam = np.zeros(self.layout.sizes[2])
-        history = []
-        total_iters = 0
-        for _ in range(max_refine):
-            r0, r1, r2 = host.residual(u, p, lam)
-            res = float(np.sqrt(r0 @ r0 + r1 @ r1 + r2 @ r2))
-            history.append(res)
-            if res <= tol_abs:
-                break
-            s = res  # normalize so f32 corrections stay well-scaled
-            x, info = corr(jnp.asarray((r0 / s).astype(dt)),
-                           jnp.asarray((r1 / s).astype(dt)),
-                           jnp.asarray((r2 / s).astype(dt)))
-            du, dp, dlam = self.layout.split(x)
-            total_iters += int(info.iterations)
-            u = u + s * np.asarray(du, dtype=np.float64)
-            p = p + s * np.asarray(dp, dtype=np.float64)
-            lam = lam + s * np.asarray(dlam, dtype=np.float64)
+
+        def correct(rs):
+            x, info = corr(*(jnp.asarray(r.astype(dt)) for r in rs))
+            return ([np.asarray(part, dtype=np.float64)
+                     for part in self.layout.split(x)], int(info.iterations))
+
+        (u, p, lam), history, total_iters, converged = guarded_refinement(
+            host.residual, correct, self.layout.sizes, tol_abs, max_refine)
         self.u = jnp.asarray(u, dtype=dt)
         self.p = jnp.asarray(p, dtype=dt)
         self.lam = jnp.asarray(lam, dtype=dt)
@@ -727,7 +720,7 @@ class StokesProblem:
             outer_iterations=total_iters,
             refined_residual=history[-1],
             refine_steps=len(history) - 1,
-            converged=history[-1] <= tol_abs)
+            converged=converged)
         return u, p, lam, history
 
     # -- diagnostics --------------------------------------------------------

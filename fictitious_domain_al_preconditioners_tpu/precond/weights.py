@@ -18,7 +18,7 @@ from ..ops.operators import CellMatrix
 
 __all__ = [
     "inv_diag", "inv_diag_squared", "inv_exact", "inv_squared_exact",
-    "inv_diag_of_m_squared",
+    "inv_diag_of_m_squared", "lattice_mass_inverse",
 ]
 
 
@@ -41,6 +41,62 @@ def inv_diag_squared(M: CellMatrix) -> LinOp:
 # dominated the whole solve.
 DENSE_INV_MAX = 4096
 
+
+def _lattice_1d_mass(n: int, h: float) -> np.ndarray:
+    """1D Q1 mass matrix on a uniform n-point line: tridiag(h/6, 2h/3, h/6)
+    with boundary diagonal h/3 (parallel.lattice module header)."""
+    M = np.zeros((n, n))
+    i = np.arange(n - 1)
+    M[i, i + 1] = h / 6.0
+    M[i + 1, i] = h / 6.0
+    d = np.full(n, 2.0 * h / 3.0)
+    d[0] = d[-1] = h / 3.0
+    M[np.arange(n), np.arange(n)] = d
+    return M
+
+
+def lattice_mass_inverse(space, squared: bool = False,
+                         scale: float = 1.0) -> LinOp | None:
+    """EXACT W⁻¹ = scale·M⁻¹ (or scale²·M⁻²) for the mass matrix of a
+    uniform tensor-product Q1 lattice, at ANY size and O(1) apply latency.
+
+    On such a grid the assembled mass matrix factors exactly as
+    M = M₁ ⊗ M₁ (⊗ M₁ in 3D) — the 1D factors are tiny k×k matrices
+    (k = points per axis), inverted once on the host in f64 and applied as
+    one small dense matmul per axis on the lattice-reshaped vector.  This
+    replaces the former >DENSE_INV_MAX fallback (a ~30-step Jacobi-CG nested
+    inside the augmented operator of the inner solves — a latency explosion
+    that made the reference-scale elliptic/elasticity cycles untractable on
+    TPU) with the MXU-native analog of the reference's factor-once UMFPACK
+    W⁻¹ (elliptic_interface.cc:700-739, N10).
+
+    Returns ``None`` when ``space`` is not an eligible lattice (callers fall
+    back to the dense-inverse / CG paths below).  The returned apply accepts
+    flat ``(n,)`` vectors or ``(n, k)`` stacks (componentwise vector use)."""
+    if (space is None or not getattr(space, "continuous", False)
+            or space.fe.degree != 1 or not hasattr(space, "n_points_1d")):
+        return None
+    npts = tuple(int(x) for x in space.n_points_1d)    # coordinate order
+    hs = tuple(float(x) for x in space.grid.h)
+    mats = []
+    for n, h in zip(reversed(npts), reversed(hs)):     # lattice axis order
+        inv = np.linalg.inv(_lattice_1d_mass(n, h))
+        mats.append(jnp.asarray(inv @ inv if squared else inv))
+    lat_shape = tuple(reversed(npts))
+    total = int(np.prod(npts))
+    s = scale * scale if squared else scale
+
+    def mv(x):
+        trail = x.shape[1:]
+        u = x.reshape(lat_shape + trail)
+        for ax, m in enumerate(mats):
+            u = jnp.moveaxis(
+                jnp.tensordot(m.astype(x.dtype), u, axes=([1], [ax])), 0, ax)
+        return (s * u).reshape(x.shape)
+
+    return LinOp(mv, (total, total), mv,
+                 name="M^-2(lat)" if squared else "M^-1(lat)")
+
 _DENSE_OVERRIDE_LOGGED = False
 
 
@@ -53,14 +109,20 @@ def _dense_inv(M: CellMatrix) -> np.ndarray:
 
 
 def inv_exact(M: CellMatrix, tol: float = 0.0, reduction: float = 1e-14,
-              max_steps: int = 1000, scale: float = 1.0) -> LinOp:
+              max_steps: int = 1000, scale: float = 1.0,
+              space=None) -> LinOp:
     """W = M/scale solved exactly (UMFPACK M⁻¹ stand-in,
-    immersed_laplace.cc:849-878): precomputed dense inverse (one matmul per
+    immersed_laplace.cc:849-878): tensor-product exact inverse when
+    ``space`` is a uniform Q1 lattice (any size, see
+    :func:`lattice_mass_inverse`), precomputed dense inverse (one matmul per
     apply) up to DENSE_INV_MAX dofs, Jacobi-CG to machine-level reduction
     above.  ``scale`` supports the h-scaled variant W = M/h² -> W⁻¹ =
     h²·M⁻¹.  The dense path supersedes any tol/reduction/max_steps passed
     (it is exact, i.e. strictly tighter than any CG control); that
     precedence is logged once when non-default controls are overridden."""
+    lat = lattice_mass_inverse(space, squared=False, scale=scale)
+    if lat is not None:
+        return lat
     if M.shape[0] <= DENSE_INV_MAX:
         if (tol, reduction, max_steps) != (0.0, 1e-14, 1000):
             global _DENSE_OVERRIDE_LOGGED
@@ -93,10 +155,15 @@ def inv_exact(M: CellMatrix, tol: float = 0.0, reduction: float = 1e-14,
     return LinOp(mv, M.shape, mv, name="M^-1")
 
 
-def inv_squared_exact(M: CellMatrix, **kw) -> LinOp:
+def inv_squared_exact(M: CellMatrix, space=None, **kw) -> LinOp:
     """W = M²: exact inverse applied twice (immersed_laplace.cc:875-878).
-    Small matrices fold both applications into ONE precomputed (M⁻¹)²
-    matmul."""
+    Uniform Q1 lattices use the tensor-product (M₁⁻²)⊗(M₁⁻²) at any size
+    (:func:`lattice_mass_inverse`); small matrices fold both applications
+    into ONE precomputed (M⁻¹)² matmul."""
+    lat = lattice_mass_inverse(space, squared=True,
+                               scale=kw.get("scale", 1.0))
+    if lat is not None:
+        return lat
     if M.shape[0] <= DENSE_INV_MAX:
         scale = kw.get("scale", 1.0)
         inv = _dense_inv(M)

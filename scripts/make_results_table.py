@@ -79,7 +79,8 @@ def elliptic_rows(cycles):
         dt = time.perf_counter() - t0
         rows.append((prob.space.n_dofs, prob.fg_space.n_dofs,
                      prob.results["outer_iterations"],
-                     prob.results["refine_steps"], hist[-1], dt))
+                     prob.results["refine_steps"], hist[-1], dt,
+                     prob.results["converged"]))
         print("elliptic", rows[-1], flush=True)
     return rows
 
@@ -117,7 +118,8 @@ def stokes_rows(refs, spacedim=2):
         rows.append((prob.results["dofs_background"],
                      prob.results["dofs_immersed"],
                      prob.results["outer_iterations"],
-                     prob.results["refine_steps"], hist[-1], dt))
+                     prob.results["refine_steps"], hist[-1], dt,
+                     prob.results["converged"]))
         print("stokes", rows[-1], flush=True)
     return rows
 
@@ -180,7 +182,8 @@ def refined_rows(refs):
         dt = time.perf_counter() - t0
         rows.append((prob.space.n_dofs, prob.imm_space.n_dofs,
                      prob.results["outer_iterations"],
-                     prob.results["refine_steps"], hist[-1], dt))
+                     prob.results["refine_steps"], hist[-1], dt,
+                     prob.results["converged"]))
         print("refined", rows[-1], flush=True)
     return rows
 
@@ -188,9 +191,12 @@ def refined_rows(refs):
 
 
 def nitsche_rows(cycles):
-    """Boundary-multiplier Dirichlet (nitsche_bcs.cc): outer FGMRES + AL
-    particle augmentation; per-outer inner-CG accounting mirrors the
-    reference's solver-signal metric (nitsche_bcs.cc:652-667)."""
+    """Boundary-multiplier Dirichlet (nitsche_bcs.cc): f32 on-chip + host-f64
+    iterative refinement to 1e-10 (solve_refined — round-4 wiring, now the
+    hardware path; was emulated f64 on-chip).  Per-outer inner-CG accounting
+    mirrors the reference's solver-signal metric (nitsche_bcs.cc:652-667);
+    the 5-cycle study is parameters_nitsche.prm ('Number of refinement
+    cycles = 5')."""
     from fictitious_domain_al_preconditioners_tpu.models import (
         NitscheConfig, NitscheProblem,
     )
@@ -200,11 +206,14 @@ def nitsche_rows(cycles):
         cfg = NitscheConfig(use_manufactured_solution=True)
         prob = NitscheProblem(cfg)
         prob.setup(cyc)
-        prob.solve()
+        prob.solve_refined(tol_abs=1e-10)  # warm: compile + caches
         t0 = time.perf_counter()
-        its = prob.solve()
+        u, lam, hist = prob.solve_refined(tol_abs=1e-10)
         dt = time.perf_counter() - t0
-        rows.append((prob.space.n_dofs, prob.mult_space.n_dofs, its, dt,
+        rows.append((prob.space.n_dofs, prob.mult_space.n_dofs,
+                     prob.results["outer_its"],
+                     prob.results["refine_steps"], hist[-1], dt,
+                     prob.results["converged"],
                      prob.results["inner_cg_per_outer"]))
         print("nitsche", rows[-1], flush=True)
     return rows
@@ -231,24 +240,44 @@ def elasticity_rows(cycles):
         rows.append((prob.results["dofs_background"],
                      prob.results["dofs_immersed"],
                      prob.results["outer_iterations"],
-                     prob.results["refine_steps"], hist[-1], dt))
+                     prob.results["refine_steps"], hist[-1], dt,
+                     prob.results["converged"]))
         print("elasticity", rows[-1], flush=True)
     return rows
+
+
+def _res_cell(res, conv=True):
+    """Residual cell with integrity marks: non-finite -> 'diverged',
+    unconverged (target missed) -> an explicit annotation.  Non-finite and
+    unconverged rows are never published as plain results (VERDICT r4 #1,
+    ADVICE r4: nan rendered as data)."""
+    import math
+
+    if res is None or not math.isfinite(res):
+        return "**diverged**"
+    cell = f"{res:.1e}"
+    if not conv:
+        cell += " **(unconverged)**"
+    return cell
 
 
 def fmt_refined(rows):
     out = ["| DoF (background) | DoF (immersed) | total outer its | refine steps | true f64 residual | wall [s] |",
            "|---|---|---|---|---|---|"]
-    for n, m, it, ks, res, dt in rows:
-        out.append(f"| {n:,} | {m:,} | {it} | {ks} | {res:.1e} | {dt:.2f} |")
+    for row in rows:
+        n, m, it, ks, res, dt = row[:6]
+        conv = bool(row[6]) if len(row) > 6 else True
+        out.append(f"| {n:,} | {m:,} | {it} | {ks} | {_res_cell(res, conv)} "
+                   f"| {dt:.2f} |")
     return "\n".join(out)
 
 
 def fmt_nitsche(rows):
-    out = ["| DoF (bulk) | DoF (multiplier) | outer iterations | solve [s] | inner CG / outer |",
-           "|---|---|---|---|---|"]
-    for n, m, it, dt, icpo in rows:
-        out.append(f"| {n:,} | {m:,} | {it} | {dt:.3f} | {icpo:.1f} |")
+    out = ["| DoF (bulk) | DoF (multiplier) | total outer its | refine steps | true f64 residual | wall [s] | inner CG / outer |",
+           "|---|---|---|---|---|---|---|"]
+    for n, m, it, ks, res, dt, conv, icpo in rows:
+        out.append(f"| {n:,} | {m:,} | {it} | {ks} | "
+                   f"{_res_cell(res, bool(conv))} | {dt:.3f} | {icpo:.1f} |")
     return "\n".join(out)
 
 
@@ -256,7 +285,7 @@ def fmt(rows):
     out = ["| DoF (background) | DoF (immersed) | outer iterations | solve [s] | constraint residual |",
            "|---|---|---|---|---|"]
     for n, m, it, dt, cr in rows:
-        out.append(f"| {n:,} | {m:,} | {it} | {dt:.3f} | {cr:.1e} |")
+        out.append(f"| {n:,} | {m:,} | {it} | {dt:.3f} | {_res_cell(cr)} |")
     return "\n".join(out)
 
 
@@ -273,7 +302,7 @@ ROWSPECS = [
     ("stokes", "7:8"), ("stokes", "8:9"), ("stokes", "9:10"),
     ("stokes3d", "3:2"), ("stokes3d", "4:3"), ("stokes3d", "5:4"),
     ("nitsche", "0"), ("nitsche", "1"), ("nitsche", "2"),
-    ("nitsche", "3"),
+    ("nitsche", "3"), ("nitsche", "4"),
     ("elasticity", "0"), ("elasticity", "1"), ("elasticity", "2"),
 ]
 
@@ -348,26 +377,24 @@ def orchestrate(only=None):
             json.dump({f"{k}:{a}": v for (k, a), v in results.items()}, fh)
 
     for kind, arg in ROWSPECS:
-        if only is not None:
-            if not f"{kind}:{arg}".startswith(only):
-                if (kind, arg) in results:
-                    ent = results[(kind, arg)]
-                    if ent.get("git") != head:
-                        print(f"{kind}:{arg} reusing STALE cached row "
-                              f"(measured at {ent.get('git') or 'unknown'}, "
-                              f"HEAD is {head})", flush=True)
-                    continue  # reuse cached row
+        if only is not None and not f"{kind}:{arg}".startswith(only):
+            # --only means ONLY: rows outside the prefix are never computed
+            # here, cached or not (ADVICE r4: a missing non-matching row
+            # used to fall through and silently recompute for hours).
+            ent = results.get((kind, arg))
+            if ent is None:
+                print(f"{kind}:{arg} not in cache (skipped by --only)",
+                      flush=True)
+            elif ent.get("git") != head:
+                print(f"{kind}:{arg} reusing STALE cached row "
+                      f"(measured at {ent.get('git') or 'unknown'}, "
+                      f"HEAD is {head})", flush=True)
+            continue
         cmd = [sys.executable, os.path.abspath(__file__), "--row",
                f"{kind}:{arg}"]
-        env = dict(os.environ)
-        if kind == "nitsche":
-            # small systems, run at the reference's precision (f64 on-chip).
-            # elliptic/stokes/elasticity rows run f32 on-chip + host-f64
-            # iterative refinement instead (solve_refined; round-4 #2/#5).
-            env["JAX_ENABLE_X64"] = "1"
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=2400, env=env)
+                               timeout=3600)
             line = [l for l in r.stdout.splitlines() if l.startswith("ROW ")]
             if r.returncode == 0 and line:
                 results[(kind, arg)] = {"row": json.loads(line[-1][4:]),
@@ -375,22 +402,44 @@ def orchestrate(only=None):
                 print(f"{kind}:{arg} -> {results[(kind, arg)]['row']}",
                       flush=True)
             else:
-                results[(kind, arg)] = {"row": None, "git": head}
+                # keep the failure DIAGNOSABLE: the stderr tail goes into
+                # the cache next to the null row (VERDICT r4 #6)
+                results[(kind, arg)] = {"row": None, "git": head,
+                                        "err": f"rc={r.returncode} "
+                                               + r.stderr[-800:]}
                 print(f"{kind}:{arg} FAILED rc={r.returncode} "
                       f"{r.stderr[-200:]}", flush=True)
         except subprocess.TimeoutExpired:
-            results[(kind, arg)] = {"row": None, "git": head}
+            results[(kind, arg)] = {"row": None, "git": head,
+                                    "err": "TIMEOUT (3600 s row budget)"}
             print(f"{kind}:{arg} TIMEOUT", flush=True)
         save()
     return results, head
 
 
-def fmt_with_failures(rows, formatter, failed_note):
-    ok = [tuple(r) for r in rows if r is not None]
-    n_failed = sum(1 for r in rows if r is None)
-    out = formatter(ok)
-    if n_failed:
-        out += f"\n\n{failed_note.format(n=n_failed)}"
+def fmt_with_failures(entries, formatter, failed_note):
+    """``entries``: list of cache entries ``{"row":, "git":, "err":}`` (or
+    None for never-run).  Renders the table for the available rows, marks
+    rows measured at a different git HEAD with a trailing ``†`` (stale —
+    VERDICT r4 #1: never publish silently), and lists failures with their
+    recorded error summaries."""
+    rows, stale_flags = [], []
+    errs = []
+    for ent in entries:
+        row = (ent or {}).get("row")
+        if row is not None:
+            rows.append(tuple(row))
+            stale_flags.append((ent or {}).get("stale", False))
+        else:
+            err = (ent or {}).get("err")
+            errs.append(err.splitlines()[-1][-120:] if err else "not run")
+    lines = formatter(rows).splitlines()
+    for i, st in enumerate(stale_flags):
+        if st:
+            lines[2 + i] += " †"
+    out = "\n".join(lines)
+    if errs:
+        out += f"\n\n{failed_note.format(n=len(errs))}: " + "; ".join(errs)
     return out
 
 
@@ -409,9 +458,16 @@ def main():
     results, head = orchestrate(only=only)
 
     def get(kind, args):
-        return [(results.get((kind, a)) or {}).get("row") for a in args]
+        out = []
+        for a in args:
+            ent = results.get((kind, a))
+            if ent is not None:
+                ent = dict(ent, stale=ent.get("git") != head)
+            out.append(ent)
+        return out
 
-    stale = sorted(f"{k}:{a}" for (k, a), v in results.items()
+    stale = sorted(f"{k}:{a} ({v.get('git') or 'unknown'})"
+                   for (k, a), v in results.items()
                    if v.get("git") != head)
 
     dev = str(jax.devices()[0])
@@ -482,12 +538,14 @@ def main():
         fmt_with_failures(get("stokes3d", ["3:2", "4:3", "5:4"]),
                           fmt_refined, "({n} row(s) failed)"),
         "",
-        "## nitsche_bcs (boundary-multiplier Dirichlet), manufactured solution — f64",
+        "## nitsche_bcs (boundary-multiplier Dirichlet), manufactured solution — f32 + refinement to 1e-10",
         "",
-        "Last column: inner CG iterations per outer FGMRES iteration (the",
-        "reference's per-outer accounting, nitsche_bcs.cc:652-667).",
+        "f32 on-chip + host-f64 refinement (ops.host_ref.HostNitscheSystem);",
+        "5-cycle study (parameters_nitsche.prm).  Last column: inner CG",
+        "iterations per outer FGMRES iteration (the reference's per-outer",
+        "accounting, nitsche_bcs.cc:652-667).",
         "",
-        fmt_with_failures(get("nitsche", ["0", "1", "2", "3"]),
+        fmt_with_failures(get("nitsche", ["0", "1", "2", "3", "4"]),
                           fmt_nitsche, "({n} row(s) failed)"),
         "",
         "## elliptic_interface_elasticity 3D (reconstructed; modified AL) — f32 + refinement to 1e-10",
@@ -497,8 +555,8 @@ def main():
         "",
     ]
     parts.append(f"Measured at git {head}." if not stale else
-                 f"Measured at git {head}, except rows reused from an "
-                 f"older HEAD's cache: {', '.join(stale)}.")
+                 f"Measured at git {head}, except rows marked † — reused "
+                 f"from an older HEAD's cache: {', '.join(stale)}.")
     parts.append("")
     os.makedirs("tables", exist_ok=True)
     with open("tables/results_tpu.md", "w") as fh:

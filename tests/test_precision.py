@@ -70,10 +70,6 @@ def test_stokes_correction_solver_traces_highest():
     layout = prob.layout
     dt = prob.rhs_u.dtype
 
-    from fictitious_domain_al_preconditioners_tpu.utils.precision import (
-        full_matmul_precision,
-    )
-
     ex = tuple(jnp.zeros((n,), dt) for n in layout.sizes)
     corr = prob.build_correction_solver()
     jx = jax.make_jaxpr(lambda a, b, c: corr(a, b, c))(*ex)
