@@ -275,7 +275,17 @@ def fmt_refined(rows):
 def fmt_nitsche(rows):
     out = ["| DoF (bulk) | DoF (multiplier) | total outer its | refine steps | true f64 residual | wall [s] | inner CG / outer |",
            "|---|---|---|---|---|---|---|"]
-    for n, m, it, ks, res, dt, conv, icpo in rows:
+    for row in rows:
+        if len(row) == 5:
+            # legacy emulated-f64 row (pre-solve_refined cache format):
+            # (dofs, mult_dofs, iters, wall, inner-cg/outer) — rendered so a
+            # stale cache can't crash the generator; re-measured rows use
+            # the 8-field format below
+            n, m, it, dt, icpo = row
+            out.append(f"| {n:,} | {m:,} | {it} | — | — (legacy f64 row) "
+                       f"| {dt:.3f} | {icpo:.1f} |")
+            continue
+        n, m, it, ks, res, dt, conv, icpo = row
         out.append(f"| {n:,} | {m:,} | {it} | {ks} | "
                    f"{_res_cell(res, bool(conv))} | {dt:.3f} | {icpo:.1f} |")
     return "\n".join(out)
@@ -332,6 +342,8 @@ def compute_row(kind, arg):
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                      "tables", ".results_tpu_rows.json")
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def _git_head():
     import subprocess
@@ -344,6 +356,61 @@ def _git_head():
         ).stdout.strip() or None
     except OSError:
         return None
+
+
+# model file each row family solves through (everything else in the package —
+# ops/, precond/, core/, utils/, parallel/ — is shared and stales ALL rows)
+FAMILY_MODEL = {
+    "laplace": "immersed_laplace.py", "refined": "immersed_laplace.py",
+    "rational": "immersed_laplace.py", "elliptic": "elliptic_interface.py",
+    "stokes": "stokes.py", "stokes3d": "stokes.py",
+    "nitsche": "nitsche_bcs.py", "elasticity": "elasticity.py",
+}
+
+_DIFF_CACHE = {}
+
+
+def _changed_files(row_git):
+    """Files touched between a row's measurement commit and HEAD (None when
+    the commit is unknown/unreachable — treated as 'everything changed')."""
+    import subprocess
+
+    if row_git not in _DIFF_CACHE:
+        try:
+            r = subprocess.run(
+                ["git", "diff", "--name-only", f"{row_git}..HEAD"],
+                capture_output=True, text=True, cwd=_REPO)
+            _DIFF_CACHE[row_git] = (r.stdout.split() if r.returncode == 0
+                                    else None)
+        except OSError:
+            _DIFF_CACHE[row_git] = None
+    return _DIFF_CACHE[row_git]
+
+
+def row_is_stale(kind, row_git, head):
+    """A cached row is stale iff the code that PRODUCES it changed since it
+    was measured: any package file outside models/, its own family's model
+    file, or this script (VERDICT r4 #1: never publish rows stamped with a
+    different HEAD for a family touched since — rows of UNtouched families
+    remain publishable, so an incremental re-measurement workflow is
+    possible on a single chip)."""
+    if row_git == head:
+        return False
+    if not row_git:
+        return True
+    files = _changed_files(row_git)
+    if files is None:
+        return True
+    pkg = "fictitious_domain_al_preconditioners_tpu/"
+    models = pkg + "models/"
+    mine = models + FAMILY_MODEL[kind]
+    for f in files:
+        if f == "scripts/make_results_table.py" or f == mine:
+            return True
+        if f.startswith(pkg) and not (f.startswith(models)
+                                      or f.endswith("/cli.py")):
+            return True
+    return False
 
 
 def orchestrate(only=None):
@@ -385,10 +452,18 @@ def orchestrate(only=None):
             if ent is None:
                 print(f"{kind}:{arg} not in cache (skipped by --only)",
                       flush=True)
-            elif ent.get("git") != head:
+            elif row_is_stale(kind, ent.get("git"), head):
                 print(f"{kind}:{arg} reusing STALE cached row "
                       f"(measured at {ent.get('git') or 'unknown'}, "
                       f"HEAD is {head})", flush=True)
+            continue
+        ent = results.get((kind, arg))
+        if (ent is not None and ent.get("row") is not None
+                and not row_is_stale(kind, ent.get("git"), head)):
+            # fresh (family-aware): the producing code is unchanged since
+            # measurement — reuse instead of burning another chip-hour
+            print(f"{kind}:{arg} cached (fresh at {ent.get('git')})",
+                  flush=True)
             continue
         cmd = [sys.executable, os.path.abspath(__file__), "--row",
                f"{kind}:{arg}"]
@@ -462,13 +537,17 @@ def main():
         for a in args:
             ent = results.get((kind, a))
             if ent is not None:
-                ent = dict(ent, stale=ent.get("git") != head)
+                ent = dict(ent, stale=row_is_stale(kind, ent.get("git"),
+                                                   head))
             out.append(ent)
         return out
 
     stale = sorted(f"{k}:{a} ({v.get('git') or 'unknown'})"
                    for (k, a), v in results.items()
-                   if v.get("git") != head)
+                   if row_is_stale(k, v.get("git"), head))
+    reused = sorted({v.get("git") for (k, a), v in results.items()
+                     if v.get("git") != head
+                     and not row_is_stale(k, v.get("git"), head)})
 
     dev = str(jax.devices()[0])
     parts = [
@@ -554,9 +633,13 @@ def main():
                           "({n} row(s) failed)"),
         "",
     ]
-    parts.append(f"Measured at git {head}." if not stale else
-                 f"Measured at git {head}, except rows marked † — reused "
-                 f"from an older HEAD's cache: {', '.join(stale)}.")
+    tail = f"Measured at git {head}"
+    if reused:
+        tail += (f" (rows measured at {', '.join(reused)} are reused — "
+                 "git confirms no file producing them changed since)")
+    parts.append(tail + "." if not stale else
+                 tail + f", except rows marked † — STALE: their producing "
+                 f"code changed after measurement: {', '.join(stale)}.")
     parts.append("")
     os.makedirs("tables", exist_ok=True)
     with open("tables/results_tpu.md", "w") as fh:
