@@ -144,7 +144,17 @@ def main(argv=None):
     # stagnation or max steps")
     import jax
 
-    if jax.default_backend() == "cpu":
+    try:
+        backend = jax.default_backend()
+    except RuntimeError as e:
+        # the configured accelerator plugin failed to initialize (e.g. the
+        # TPU tunnel is held by another process) — fall back to CPU rather
+        # than crash: the CLI is also the reference-parity (f64) surface
+        print(f"[fdal] accelerator backend unavailable ({e}); "
+              "falling back to CPU", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        backend = jax.default_backend()
+    if backend == "cpu":
         jax.config.update("jax_enable_x64", True)
     else:
         print(f"[fdal] running on {jax.default_backend()} in float32; "

@@ -402,8 +402,12 @@ class ElasticityInterfaceProblem:
 
     def build_correction_solver(self):
         """jit of ``(r0, r1, r2) -> (x, info)`` with a RAW right-hand side —
-        the inner engine of :meth:`solve_refined`."""
-        return self._build_solver(raw_rhs=True)
+        the inner engine of :meth:`solve_refined`.  One short device
+        program per refinement step (watchdog-safe, utils.refine)."""
+        from ..utils.refine import capped_max_steps
+
+        with capped_max_steps(self.cfg.outer):
+            return self._build_solver(raw_rhs=True)
 
     def solve_refined(self, tol_abs: float = 1e-10, max_refine: int = 12):
         """Mixed-precision iterative refinement (f32 on-chip corrections +

@@ -882,13 +882,18 @@ class ImmersedLaplaceProblem:
         """jit of ``(b0, b1) -> (du, dlam, info)``: one AL-preconditioned
         FGMRES solve of the augmented system with a RAW right-hand side —
         the inner engine of :meth:`solve_refined`."""
-        run = self._augmented_run(raw_rhs=True)
         from ..utils.hoist import jit_hoisted
+        from ..utils.refine import capped_max_steps
 
         dt = self.rhs_f.dtype
         ex = (jax.ShapeDtypeStruct((self.space.n_dofs,), dt),
               jax.ShapeDtypeStruct((self.imm_space.n_dofs,), dt))
-        return jit_hoisted(run, ex)
+        with capped_max_steps(self.cfg.schur):
+            # one short device program per refinement step (watchdog-safe);
+            # guarded_refinement restarts from the host — see utils.refine.
+            # The cap must span jit_hoisted: max_steps is read at TRACE time.
+            run = self._augmented_run(raw_rhs=True)
+            return jit_hoisted(run, ex)
 
     def solve_refined(self, tol_abs: float = 1e-10, max_refine: int = 12):
         """Mixed-precision iterative refinement to REFERENCE solve quality on

@@ -290,8 +290,13 @@ class NitscheProblem:
 
     def build_correction_solver(self):
         """jit of ``(r0, r1) -> (x, info, inner_total)`` with a RAW block
-        right-hand side — the inner engine of :meth:`solve_refined`."""
-        return self._build_solver(raw_rhs=True)
+        right-hand side — the inner engine of :meth:`solve_refined`.
+        One short device program per refinement step (watchdog-safe,
+        utils.refine)."""
+        from ..utils.refine import capped_max_steps
+
+        with capped_max_steps(self.cfg.outer):
+            return self._build_solver(raw_rhs=True)
 
     def solve_refined(self, tol_abs: float = 1e-10, max_refine: int = 12):
         """Mixed-precision iterative refinement (f32 on-chip + host-f64 true

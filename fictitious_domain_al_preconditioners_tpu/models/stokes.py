@@ -676,7 +676,12 @@ class StokesProblem:
         solve of the IBStokesAL system with a RAW right-hand side — the
         inner engine of :meth:`solve_refined`."""
         assert self.cfg.solver == "IBStokesAL"
-        return self._build_ibstokes_al(raw_rhs=True)
+        from ..utils.refine import capped_max_steps
+
+        with capped_max_steps(self.cfg.outer):
+            # one short device program per refinement step (watchdog-safe,
+            # utils.refine)
+            return self._build_ibstokes_al(raw_rhs=True)
 
     def solve_refined(self, tol_abs: float = 1e-8, max_refine: int = 12):
         """Mixed-precision iterative refinement of the IBStokesAL solve to

@@ -16,9 +16,38 @@ silent nan row into a diagnosable failure.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 
-__all__ = ["guarded_refinement"]
+__all__ = ["guarded_refinement", "capped_max_steps", "CORRECTION_MAX_OUTER"]
+
+# Upper bound on the outer Krylov steps of ONE correction-solve device
+# program.  The whole FGMRES runs inside a single XLA while_loop; with the
+# reference's max_steps=1000 a STALLED f32 solve (tolerance below the f32
+# noise floor) grinds the full 1000 iterations in one program — minutes of
+# device time that the v5e worker watchdog kills ("TPU worker crashed", the
+# round-4/5 elliptic:3 / stokes:9:10 / elasticity:2 failure signature).
+# Capping per-program steps and letting guarded_refinement restart from the
+# host is mathematically restarted FGMRES with f64 residual recomputation —
+# equal or better numerically — and bounds every device program to seconds.
+# Converged solves are unaffected: measured per-step counts across all five
+# families are 8-30 iterations, well under the cap.
+CORRECTION_MAX_OUTER = 64
+
+
+@contextmanager
+def capped_max_steps(control, cap: int | None = None):
+    """Temporarily cap ``control.max_steps`` while a correction solver is
+    BUILT (the jitted program bakes the bound at trace time)."""
+    if cap is None:
+        cap = CORRECTION_MAX_OUTER   # resolved at call time (testable)
+    old = control.max_steps
+    control.max_steps = min(old, cap)
+    try:
+        yield
+    finally:
+        control.max_steps = old
 
 
 def guarded_refinement(residual, correct, sizes, tol_abs: float,

@@ -174,3 +174,60 @@ class TestLatticeMassInverse:
         x = jnp.ones(q1.n_dofs)
         np.testing.assert_allclose(np.asarray(inv(x)),
                                    4.0 * np.asarray(base(x)), rtol=1e-12)
+
+
+class TestCappedMaxSteps:
+    """Correction-solve device programs are bounded (watchdog safety): one
+    short program per refinement step instead of a single minutes-long
+    while_loop the v5e worker kills."""
+
+    def test_caps_and_restores(self):
+        from dataclasses import dataclass
+
+        from fictitious_domain_al_preconditioners_tpu.utils.refine import (
+            CORRECTION_MAX_OUTER, capped_max_steps,
+        )
+
+        @dataclass
+        class Ctl:
+            max_steps: int = 1000
+
+        c = Ctl()
+        with capped_max_steps(c):
+            assert c.max_steps == CORRECTION_MAX_OUTER
+        assert c.max_steps == 1000
+        c = Ctl(max_steps=10)   # an already-smaller bound is kept
+        with capped_max_steps(c):
+            assert c.max_steps == 10
+        try:                     # restored even when the build raises
+            with capped_max_steps(Ctl()) as _:
+                raise RuntimeError
+        except RuntimeError:
+            pass
+
+    def test_refinement_restarts_across_capped_programs(self, monkeypatch):
+        """With the per-program cap forced to 4, solve_refined still reaches
+        the reference tolerance by restarting from the host: total its ≤
+        cap × steps, and more than one (short) program ran."""
+        from fictitious_domain_al_preconditioners_tpu.models import (
+            ImmersedLaplaceConfig, ImmersedLaplaceProblem,
+        )
+        from fictitious_domain_al_preconditioners_tpu.utils import refine
+
+        monkeypatch.setattr(refine, "CORRECTION_MAX_OUTER", 4)
+        cfg = ImmersedLaplaceConfig(
+            initial_refinement=4, initial_embedded_refinement=4,
+            embedded_configuration=("R*cos(2*pi*x)+Cx; R*sin(2*pi*x)+Cy",
+                                    "R=.2, Cx=.4, Cy=.4"),
+            embedding_rhs=("8*pi^2*sin(2*pi*x)*sin(2*pi*y)", ""),
+            embedded_value=("sin(2*pi*x)*sin(2*pi*y)", ""),
+            solver="augmented", use_operator_form=True,
+            use_diagonal_inverse=True)
+        prob = ImmersedLaplaceProblem(cfg)
+        prob.setup()
+        u, lam, hist = prob.solve_refined(tol_abs=1e-10, max_refine=30)
+        steps = prob.results["refine_steps"]
+        assert prob.results["converged"]
+        assert hist[-1] <= 1e-10
+        assert steps > 1  # the cap forced more than one program
+        assert prob.results["outer_iterations"] <= 4 * steps
