@@ -32,6 +32,8 @@ from ..ops.coupling import build_coupling
 from ..ops.krylov import cg, fgmres
 from ..ops.linop import LinOp
 from ..ops.operators import CellMatrix, constrain, dirichlet_rhs
+from ..ops.sparse import COO, spgemm_ctwc
+from ..ops.sparse_band import lattice_band_linop
 from ..precond.al import al_preconditioner_modified
 from ..precond.gmg import build_gmg
 from ..utils.prm import Params, parse_prm
@@ -300,6 +302,25 @@ class ElasticityInterfaceProblem:
             A_l = CellMatrix(vd, vd, a_loc, (sp.n_dofs * dim,) * 2)
             Cl = self.Cs if sp is self.space else build_coupling(
                 sp, self.fg_space, order=cfg.background_space_degree + 1)
+
+            # whole level matrix A_l + γ₁·blockdiag(Cᵀdiag(w)C) as ONE
+            # banded shift-FMA stencil: the per-smoother-apply coupling
+            # gather/scatter (the elasticity table-row cost cliff — 551 s
+            # at 14.7k dofs in round 4) disappears from the hot loop
+            band = None
+            if hasattr(sp, "n_points_1d"):
+                ns = sp.n_dofs
+                al_s = spgemm_ctwc(COO.from_coupling(Cl),
+                                   np.asarray(w_diag_scalar))
+                lvl = COO.from_cell_matrix(A_l).add(COO(
+                    np.concatenate([al_s.rows + k * ns for k in range(dim)]),
+                    np.concatenate([al_s.cols + k * ns for k in range(dim)]),
+                    np.concatenate([al_s.vals] * dim),
+                    (ns * dim,) * 2), alpha=gamma_1)
+                band = lattice_band_linop(sp, lvl, n_comp=dim)
+            if band is not None:
+                return band[0], jnp.asarray(band[2])
+
             Cv = VectorCoupling(Cl, dim)
             inv_w_d = jnp.asarray(w_diag_scalar)
 
@@ -326,6 +347,17 @@ class ElasticityInterfaceProblem:
                                            cfg.mu_immersed - cfg.mu_background)
             vd = vector_cell_dofs(sp, dim)
             A_l = CellMatrix(vd, vd, a_loc, (sp.n_dofs * dim,) * 2)
+
+            band = (lattice_band_linop(sp, COO.from_cell_matrix(A_l),
+                                       n_comp=dim)
+                    if hasattr(sp, "n_points_1d") else None)
+            if band is not None:
+                band_mv = band[0]
+
+                def mv(x):
+                    return band_mv(x) + gamma_2 * x
+
+                return mv, jnp.asarray(band[2]) + gamma_2
 
             def mv(x):
                 return A_l.mv(x) + gamma_2 * x

@@ -78,20 +78,53 @@ def lattice_mass_inverse(space, squared: bool = False,
         return None
     npts = tuple(int(x) for x in space.n_points_1d)    # coordinate order
     hs = tuple(float(x) for x in space.grid.h)
-    mats = []
+    # Factor inverses applied as BANDED diagonal stencils, not matmuls: the
+    # 1D mass inverse decays like (2-√3)^|i-j| ≈ 0.268^|i-j|, so truncating
+    # below 1e-15 relative keeps a band of ~25 (≈50 for M⁻²) — exact to
+    # machine precision in both f32 and f64.  Deliberately DOT-FREE: on the
+    # tunneled v5e every matrix×matrix dot_general shape pays a pathological
+    # remote-autotune on first compile (measured: 205-430 s for a single
+    # (65,65)@(65,65) f32 GEMM program, while matvec/stencil programs
+    # compile in ~1 s) — a shift-FMA apply sidesteps the entire class.
+    bands = []
     for n, h in zip(reversed(npts), reversed(hs)):     # lattice axis order
         inv = np.linalg.inv(_lattice_1d_mass(n, h))
-        mats.append(jnp.asarray(inv @ inv if squared else inv))
+        if squared:
+            inv = inv @ inv
+        tol = 1e-15 * np.abs(inv).max()
+        b = 0
+        for k in range(1, n):
+            if np.abs(np.diagonal(inv, k)).max() <= tol:
+                break
+            b = k
+        # coefficient planes per offset: W[k+b, i] = inv[i, i+k]
+        W = np.zeros((2 * b + 1, n))
+        for k in range(-b, b + 1):
+            dg = np.diagonal(inv, k)
+            W[k + b, max(0, -k):max(0, -k) + len(dg)] = dg
+        bands.append((b, jnp.asarray(W)))
     lat_shape = tuple(reversed(npts))
+    d = len(lat_shape)
     total = int(np.prod(npts))
     s = scale * scale if squared else scale
 
     def mv(x):
         trail = x.shape[1:]
         u = x.reshape(lat_shape + trail)
-        for ax, m in enumerate(mats):
-            u = jnp.moveaxis(
-                jnp.tensordot(m.astype(x.dtype), u, axes=([1], [ax])), 0, ax)
+        for ax, (b, W) in enumerate(bands):
+            n = lat_shape[ax]
+            pads = [(0, 0)] * u.ndim
+            pads[ax] = (b, b)
+            up = jnp.pad(u, pads)
+            acc = None
+            for k in range(2 * b + 1):
+                sl = [slice(None)] * u.ndim
+                sl[ax] = slice(k, k + n)
+                wsh = [1] * u.ndim
+                wsh[ax] = n
+                term = W[k].reshape(wsh).astype(x.dtype) * up[tuple(sl)]
+                acc = term if acc is None else acc + term
+            u = acc
         return (s * u).reshape(x.shape)
 
     return LinOp(mv, (total, total), mv,
