@@ -443,9 +443,38 @@ class StokesProblem:
             A_l = self.A if sp is self.vel_space else self._vel_block(sp)
             diag = A_l.diag()
             mv = A_l.mv
+            Cl = None
             if with_al:
                 Cl = self.Cs if sp is self.vel_space else build_coupling(
                     sp, self.mult_space, 2 * max(cfg.embedded_space_degree, 1) + 2)
+
+            # whole level matrix A_l (+ γ·blockdiag(Cᵀdiag(w)C)) as ONE
+            # banded shift-FMA stencil (ops.sparse_band): the Q2 vector
+            # element gather→scatter and the coupling applies leave the
+            # smoother hot loop (same fix as the elliptic/elasticity GMG;
+            # the reference's AMG consumes the same explicit matrices,
+            # utilities.h:111-331)
+            if hasattr(sp, "n_points_1d"):
+                from ..ops.sparse import COO, spgemm_ctwc
+                from ..ops.sparse_band import lattice_band_linop
+
+                lvl = COO.from_cell_matrix(A_l)
+                if with_al:
+                    ns = sp.n_dofs
+                    al_s = spgemm_ctwc(COO.from_coupling(Cl),
+                                       np.asarray(w_diag_scalar))
+                    lvl = lvl.add(COO(
+                        np.concatenate([al_s.rows + k * ns
+                                        for k in range(sd)]),
+                        np.concatenate([al_s.cols + k * ns
+                                        for k in range(sd)]),
+                        np.concatenate([al_s.vals] * sd),
+                        (ns * sd,) * 2), alpha=gamma)
+                band = lattice_band_linop(sp, lvl, n_comp=sd)
+                if band is not None:
+                    return band[0], jnp.asarray(band[2])
+
+            if with_al:
                 Cv = VectorCoupling(Cl, sd)
                 al_diag = Cv.al_term_diag(w_diag_scalar, gamma)
                 inv_w_d = jnp.asarray(w_diag_scalar)

@@ -66,6 +66,10 @@ class TestGuardedRefinement:
         np.testing.assert_allclose(x, b, atol=1e-14)
 
     def test_stagnating_correction_stops_unconverged(self):
+        """Zero corrections stall: max_no_improve BOUNDED steps are taken
+        (a changed iterate re-seeds the next correction — the measured v5e
+        elliptic-cycle-2 transient), then the loop stops unconverged with a
+        finite iterate."""
         b = np.ones(3)
 
         def correct(rs):
@@ -73,7 +77,46 @@ class TestGuardedRefinement:
 
         (x,), hist, iters, conv = guarded_refinement(
             _identity_residual(b), correct, (3,), 1e-12, 10)
-        assert not conv and len(hist) == 1 and iters == 2
+        assert not conv
+        assert np.all(np.isfinite(x))
+        assert len(hist) == 3 and iters == 4   # 2 no-improve steps, stop
+        assert hist[0] == hist[1] == hist[2]
+
+    def test_bounded_growth_transient_recovers(self):
+        """The measured v5e elliptic-cycle-2 pattern: the FIRST correction
+        grows the true residual 2.3x, the next one contracts 1e4x.  The
+        guard must take the bounded growth step and converge."""
+        b = np.ones(3)
+        calls = []
+
+        def correct(rs):
+            calls.append(1)
+            if len(calls) == 1:
+                # overshoot: full step -> 3x growth, half step -> exactly
+                # 1.0x (not improving) — only the bounded-growth path
+                # can accept
+                return [4.0 * rs[0]], 4
+            return [rs[0].copy()], 4      # exact solve afterwards
+
+        (x,), hist, iters, conv = guarded_refinement(
+            _identity_residual(b), correct, (3,), 1e-12, 10)
+        assert conv and len(calls) == 2 and iters == 8
+        assert hist[1] > hist[0]          # the accepted growth step
+        np.testing.assert_allclose(x, b, atol=1e-14)
+
+    def test_growing_correction_stops_and_rolls_back(self):
+        """A correction that keeps GROWING the residual exhausts the bounded
+        budget (per-step and vs-initial growth_cap), stops, and rolls back
+        to the best iterate."""
+        b = np.ones(3)
+
+        def correct(rs):
+            return [-5.0 * rs[0]], 3   # moves the iterate the wrong way
+
+        (x,), hist, iters, conv = guarded_refinement(
+            _identity_residual(b), correct, (3,), 1e-12, 10)
+        assert not conv and len(hist) <= 3 and iters <= 9
+        assert np.all(x == 0.0)   # rolled back to the initial iterate
 
 
 class TestModelLevelGuard:
