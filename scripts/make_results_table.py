@@ -299,26 +299,31 @@ def fmt(rows):
     return "\n".join(out)
 
 
+# Measurement order = re-measurement priority on a shared single chip: the
+# families the round's integrity goal needs first (elliptic at the 8-cycle
+# scale, Stokes 2D through 2.4M, nitsche on the mixed-precision path), then
+# the flagship, then the rest — an interrupted run still leaves the
+# highest-value rows fresh in the cache.
 ROWSPECS = [
-    ("laplace", "7"), ("laplace", "8"), ("laplace", "9"), ("laplace", "10"),
-    ("laplace", "11"), ("laplace", "12"), ("laplace", "13"),
-    ("refined", "9"), ("refined", "10"),
-    ("rational", "5"), ("rational", "6"), ("rational", "7"),
-    ("rational", "8"), ("rational", "9"),
     ("elliptic", "0"), ("elliptic", "1"), ("elliptic", "2"),
     ("elliptic", "3"), ("elliptic", "4"), ("elliptic", "5"),
     ("elliptic", "6"),
     ("stokes", "4:5"), ("stokes", "5:6"), ("stokes", "6:7"),
     ("stokes", "7:8"), ("stokes", "8:9"), ("stokes", "9:10"),
+    ("nitsche", "0"), ("nitsche", "1"), ("nitsche", "2"),
+    ("nitsche", "3"), ("nitsche", "4"),
+    ("elasticity", "0"), ("elasticity", "1"), ("elasticity", "2"),
     # 3D pairings keep h_Gamma/h_bg in the reference's ~1.3-2.3 band (bg 6
     # + 1 local with sphere ref 4, parameters_stokes_3d.prm): the multiplier
     # mesh must be COARSER than the velocity grid or the DLM inf-sup
     # constant collapses (round-4's 3:2 rows: ratio 0.53, 132 its/solve;
     # at 3:0/4:1 ratio 1.3/1.7 -> 10 outer its, measured CPU f64)
     ("stokes3d", "3:0"), ("stokes3d", "4:1"), ("stokes3d", "5:2"),
-    ("nitsche", "0"), ("nitsche", "1"), ("nitsche", "2"),
-    ("nitsche", "3"), ("nitsche", "4"),
-    ("elasticity", "0"), ("elasticity", "1"), ("elasticity", "2"),
+    ("laplace", "7"), ("laplace", "8"), ("laplace", "9"), ("laplace", "10"),
+    ("laplace", "11"), ("laplace", "12"), ("laplace", "13"),
+    ("refined", "9"), ("refined", "10"),
+    ("rational", "5"), ("rational", "6"), ("rational", "7"),
+    ("rational", "8"), ("rational", "9"),
 ]
 
 
