@@ -11,8 +11,13 @@ iterate.  It is deliberately NOT monotone: near the f32 conditioning limit
 the FIRST correction of a cycle can overshoot and grow the true residual
 (measured on the v5e, elliptic cycle 2: step 0 grows 2.31x, steps 1-4 then
 contract 1e4x per step to 2e-12 — classic iterative-refinement transient
-when kappa*eps_f32 ~ 1).  So a step is accepted if it improves, OR if it is
-finite and bounded (<= growth_cap x the current AND the initial residual);
+when kappa*eps_f32 ~ 1).  The cap is 64x, not a tight bound: elliptic
+cycle 3's transient measures 7.64x on CPU f32 and crosses 8x on the v5e
+(same correction, different f32 rounding) — with an 8x cap the guard was
+rejecting a convergent process at every cycle >= 3 (0.016 -> 0.125 ->
+1.2e-4 -> 9.1e-7 -> 9.8e-11 once accepted).  So a step is accepted if it
+improves, OR if it is finite and bounded (<= growth_cap x the current AND
+the initial residual);
 at most ``max_no_improve`` consecutive non-improving steps are taken, the
 best iterate seen is tracked, and the loop always returns that best iterate
 — a nan or unbounded correction can never poison the result, it only ends
@@ -56,7 +61,7 @@ def capped_max_steps(control, cap: int | None = None):
 
 
 def guarded_refinement(residual, correct, sizes, tol_abs: float,
-                       max_refine: int, growth_cap: float = 8.0,
+                       max_refine: int, growth_cap: float = 64.0,
                        max_no_improve: int = 2):
     """Run the refinement loop.
 
